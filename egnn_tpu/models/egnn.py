@@ -1,0 +1,353 @@
+"""Dense-path E(n)-equivariant GNN: the EGNN layer and EGNN_Network stack.
+
+TPU-native re-implementation of the reference's dense path
+(egnn_pytorch.py:148-454). Same math and option surface; different compute
+layout, designed for the MXU/XLA:
+
+- The pairwise edge-MLP's first layer is *factorized*: with input
+  ``[f_i, f_j, dist_feats, edges]`` and weight rows ``[Wi; Wj; Wd; We]``,
+  ``h1_ij = (f @ Wi)_i + (f @ Wj)_j + dist_ij @ Wd + e_ij @ We + b1``.
+  The two big (n, dim) @ (dim, hidden) matmuls run once per *node* instead of
+  once per *pair* — O(n d h) instead of O(n^2 d h) — and only the cheap
+  rank-(2F+1) and edge-feature terms remain pairwise. Algebraically identical
+  to the reference's concat+matmul (egnn_pytorch.py:282-287).
+- Neighbor selection uses static-k ``lax.top_k`` (TPU needs static shapes);
+  see egnn_tpu/ops/neighbors.py for the exact ranking-rule parity.
+- No in-place ops; masks are ``jnp.where``; everything jits to one XLA program.
+
+Faithfully reproduced quirks (documented, deliberate):
+- ``valid_radius`` only takes effect when a ``mask`` is passed (the reference
+  combines ``nbhd_mask`` into the pair mask only under ``exists(mask)``,
+  egnn_pytorch.py:292-300).
+- With ``only_sparse_neighbors``, k = max row degree *including* the self slot,
+  so the max-degree node drops one neighbor (egnn_pytorch.py:249-258).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import neighbors as nb
+from ..ops.core import (
+    batched_index_select,
+    coors_norm,
+    fourier_encode_dist,
+    layer_norm,
+    safe_div,
+)
+from . import init as inits
+from .attention import GlobalLinearAttention
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class EGNN(nn.Module):
+    """One dense E(n)-equivariant message-passing layer.
+
+    Option surface mirrors the reference EGNN (egnn_pytorch.py:148-222) —
+    every kwarg keeps its reference name and default.
+    """
+
+    dim: int
+    edge_dim: int = 0
+    m_dim: int = 16
+    fourier_features: int = 0
+    num_nearest_neighbors: int = 0
+    dropout: float = 0.0
+    init_eps: float = 1e-3
+    norm_feats: bool = False
+    norm_coors: bool = False
+    norm_coors_scale_init: float = 1e-2
+    update_feats: bool = True
+    update_coors: bool = True
+    only_sparse_neighbors: bool = False
+    valid_radius: float = float("inf")
+    m_pool_method: str = "sum"
+    soft_edges: bool = False
+    coor_weights_clamp_value: Optional[float] = None
+
+    def _linear(self, name, d_in, d_out):
+        w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
+        b = self.param(f"{name}_b", inits.torch_linear_bias_init(d_in), (d_out,))
+        return w, b
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,          # (b, n, dim)
+        coors: jnp.ndarray,          # (b, n, c) — any spatial dim c
+        edges: Optional[jnp.ndarray] = None,   # (b, n, n, edge_dim)
+        mask: Optional[jnp.ndarray] = None,    # (b, n) bool
+        adj_mat: Optional[jnp.ndarray] = None, # (n, n) or (b, n, n) bool
+        deterministic: bool = True,
+    ):
+        assert self.m_pool_method in {"sum", "mean"}, "pool method must be either sum or mean"
+        assert self.update_feats or self.update_coors, (
+            "you must update either features, coordinates, or both"
+        )
+        b, n, d = feats.shape
+        assert d == self.dim, f"feats dim {d} != configured dim {self.dim}"
+        fourier = self.fourier_features
+        dist_dim = 2 * fourier + 1
+        edge_dim = self.edge_dim
+        ein = dist_dim + 2 * d + edge_dim
+        hidden = ein * 2
+
+        num_nearest = self.num_nearest_neighbors
+        valid_radius = self.valid_radius
+        use_nearest = num_nearest > 0 or self.only_sparse_neighbors
+
+        # ---- parameters (flat, named for easy torch-weight injection) ----
+        edge_w1, edge_b1 = self._linear("edge_mlp_0", ein, hidden)
+        edge_w2, edge_b2 = self._linear("edge_mlp_1", hidden, self.m_dim)
+        if self.soft_edges:
+            gate_w, gate_b = self._linear("edge_gate", self.m_dim, 1)
+        if self.norm_feats:
+            nn_gamma = self.param("node_norm_gamma", inits.ones_init, (d,))
+            nn_beta = self.param("node_norm_beta", inits.zeros_init, (d,))
+        if self.norm_coors:
+            cn_scale = self.param(
+                "coors_norm_scale", inits.constant_init(self.norm_coors_scale_init), (1,)
+            )
+        if self.update_feats:
+            node_w1, node_b1 = self._linear("node_mlp_0", d + self.m_dim, d * 2)
+            node_w2, node_b2 = self._linear("node_mlp_1", d * 2, d)
+        if self.update_coors:
+            coors_w1, coors_b1 = self._linear("coors_mlp_0", self.m_dim, self.m_dim * 4)
+            coors_w2, coors_b2 = self._linear("coors_mlp_1", self.m_dim * 4, 1)
+        drop = nn.Dropout(rate=self.dropout)
+
+        # Factorized first-layer weight blocks, concat order [f_i, f_j, dist, edges]
+        # (egnn_pytorch.py:282-285).
+        w_i = edge_w1[:d]
+        w_j = edge_w1[d : 2 * d]
+        w_d = edge_w1[2 * d : 2 * d + dist_dim]
+        w_e = edge_w1[2 * d + dist_dim :]
+
+        # ---- pairwise geometry ----
+        rel_coors, rel_dist = nb.pairwise_geometry(coors)  # (b,n,n,c), (b,n,n)
+
+        nbhd = None
+        if use_nearest:
+            if self.only_sparse_neighbors:
+                assert adj_mat is not None, "only_sparse_neighbors requires adj_mat"
+                if num_nearest == 0:
+                    # Reference derives k from the (concrete) adjacency at call
+                    # time (egnn_pytorch.py:249); static k is required under jit.
+                    num_nearest = nb.max_degree(adj_mat)
+                valid_radius = 0.0
+            adj_b = None
+            if adj_mat is not None:
+                adj_b = adj_mat if adj_mat.ndim == 3 else jnp.broadcast_to(adj_mat, (b, n, n))
+            ranking = nb.knn_ranking(rel_dist, mask=mask, adj_mat=adj_b)
+            nbhd = nb.select_neighborhood(ranking, num_nearest, valid_radius)
+
+            rel_coors = batched_index_select(rel_coors, nbhd.indices, axis=2)
+            rel_dist = jnp.take_along_axis(rel_dist, nbhd.indices, axis=2)
+            if edges is not None:
+                edges = batched_index_select(edges, nbhd.indices, axis=2)
+
+        # ---- distance features ----
+        if fourier > 0:
+            dist_feats = fourier_encode_dist(rel_dist, num_encodings=fourier)
+        else:
+            dist_feats = rel_dist[..., None]
+
+        # ---- factorized edge MLP layer 1 ----
+        proj_i = feats @ w_i  # (b, n, hidden)
+        proj_j_full = feats @ w_j  # (b, n, hidden)
+        if use_nearest:
+            proj_j = batched_index_select(proj_j_full, nbhd.indices, axis=1)  # (b,n,k,h)
+        else:
+            proj_j = proj_j_full[:, None, :, :]  # (b,1,n,h)
+
+        h1 = proj_i[:, :, None, :] + proj_j + dist_feats @ w_d + edge_b1
+        if edges is not None:
+            h1 = h1 + edges @ w_e
+
+        m_ij = _silu(drop(h1, deterministic=deterministic))
+        m_ij = _silu(m_ij @ edge_w2 + edge_b2)  # (b, n, j, m_dim)
+
+        if self.soft_edges:
+            m_ij = m_ij * jax.nn.sigmoid(m_ij @ gate_w + gate_b)
+
+        # ---- pair mask (reference order: mask_i * mask_j [& nbhd]) ----
+        pair_mask = None
+        if mask is not None:
+            if use_nearest:
+                mask_j = batched_index_select(mask, nbhd.indices, axis=1)  # (b,n,k)
+                pair_mask = (mask[:, :, None] & mask_j) & nbhd.valid
+            else:
+                pair_mask = mask[:, :, None] & mask[:, None, :]
+
+        # ---- coordinate update (equivariant) ----
+        if self.update_coors:
+            cw = _silu(drop(m_ij @ coors_w1 + coors_b1, deterministic=deterministic))
+            coor_weights = (cw @ coors_w2 + coors_b2)[..., 0]  # (b, n, j)
+
+            rel_coors_n = coors_norm(rel_coors, cn_scale) if self.norm_coors else rel_coors
+
+            if pair_mask is not None:
+                coor_weights = jnp.where(pair_mask, coor_weights, 0.0)
+            if self.coor_weights_clamp_value is not None:
+                c = self.coor_weights_clamp_value
+                coor_weights = jnp.clip(coor_weights, -c, c)
+
+            coors_out = jnp.einsum("bij,bijc->bic", coor_weights, rel_coors_n) + coors
+        else:
+            coors_out = coors
+
+        # ---- feature update (invariant) ----
+        if self.update_feats:
+            if pair_mask is not None:
+                m_ij = jnp.where(pair_mask[..., None], m_ij, 0.0)
+
+            if self.m_pool_method == "mean":
+                if pair_mask is not None:
+                    mask_sum = pair_mask[..., None].sum(axis=-2).astype(m_ij.dtype)
+                    m_i = safe_div(m_ij.sum(axis=-2), mask_sum)
+                else:
+                    m_i = m_ij.mean(axis=-2)
+            else:  # sum
+                m_i = m_ij.sum(axis=-2)
+
+            normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
+            h = jnp.concatenate([normed, m_i], axis=-1)
+            h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
+            node_out = h @ node_w2 + node_b2 + feats
+        else:
+            node_out = feats
+
+        return node_out, coors_out
+
+
+class EGNNNetwork(nn.Module):
+    """Depth-N dense EGNN stack with embeddings, adjacency-degree expansion and
+    interleaved global linear attention (egnn_pytorch.py:343-454).
+
+    ``layer_kwargs`` forwards extra EGNN options (the reference's ``**kwargs``
+    passthrough at egnn_pytorch.py:387); ``norm_feats=True`` is forced, as in
+    the reference.
+    """
+
+    depth: int
+    dim: int
+    num_tokens: Optional[int] = None
+    num_edge_tokens: Optional[int] = None
+    num_positions: Optional[int] = None
+    edge_dim: int = 0
+    num_adj_degrees: Optional[int] = None
+    adj_dim: int = 0
+    global_linear_attn_every: int = 0
+    global_linear_attn_heads: int = 8
+    global_linear_attn_dim_head: int = 64
+    num_global_tokens: int = 4
+    layer_kwargs: Any = None  # dict of extra EGNN options
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        coors: jnp.ndarray,
+        adj_mat: Optional[jnp.ndarray] = None,
+        edges: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        return_coor_changes: bool = False,
+        deterministic: bool = True,
+    ):
+        assert not (self.num_adj_degrees is not None and self.num_adj_degrees < 1), (
+            "make sure adjacent degrees is greater than 1"
+        )
+        b = feats.shape[0]
+        kwargs = dict(self.layer_kwargs or {})
+
+        if self.num_tokens is not None:
+            token_emb = self.param(
+                "token_emb", inits.unit_normal_init, (self.num_tokens, self.dim)
+            )
+            feats = token_emb[feats]
+
+        if self.num_positions is not None:
+            n = feats.shape[1]
+            assert n <= self.num_positions, (
+                f"given sequence length {n} must be less than the number of "
+                f"positions {self.num_positions} set at init"
+            )
+            pos_emb = self.param(
+                "pos_emb", inits.unit_normal_init, (self.num_positions, self.dim)
+            )
+            feats = feats + pos_emb[None, :n, :]
+
+        has_edges = self.edge_dim > 0
+        if edges is not None and self.num_edge_tokens is not None:
+            edge_emb = self.param(
+                "edge_emb", inits.unit_normal_init, (self.num_edge_tokens, self.edge_dim)
+            )
+            edges = edge_emb[edges]
+
+        edge_dim = self.edge_dim if has_edges else 0
+        adj_dim = self.adj_dim if self.num_adj_degrees is not None else 0
+
+        # Nth-degree adjacency expansion with per-degree embedding
+        # (egnn_pytorch.py:414-432). NOTE: layers below see the *expanded* adj.
+        if self.num_adj_degrees is not None:
+            assert adj_mat is not None, (
+                "adjacency matrix must be passed in (keyword argument adj_mat)"
+            )
+            if adj_mat.ndim == 2:
+                adj_mat = jnp.broadcast_to(adj_mat, (b,) + adj_mat.shape)
+            adj_mat, adj_indices = nb.expand_adjacency_degrees(adj_mat, self.num_adj_degrees)
+            if adj_dim > 0:
+                adj_emb = self.param(
+                    "adj_emb", inits.unit_normal_init, (self.num_adj_degrees + 1, self.adj_dim)
+                )
+                adj_feats = adj_emb[adj_indices]
+                edges = (
+                    jnp.concatenate([edges, adj_feats], axis=-1)
+                    if edges is not None
+                    else adj_feats
+                )
+
+        has_global_attn = self.global_linear_attn_every > 0
+        global_tokens = None
+        if has_global_attn:
+            tokens = self.param(
+                "global_tokens", inits.unit_normal_init, (self.num_global_tokens, self.dim)
+            )
+            global_tokens = jnp.broadcast_to(tokens, (b,) + tokens.shape)
+
+        coor_changes = [coors]
+        for ind in range(self.depth):
+            is_global_layer = has_global_attn and (ind % self.global_linear_attn_every) == 0
+            if is_global_layer:
+                feats, global_tokens = GlobalLinearAttention(
+                    dim=self.dim,
+                    heads=self.global_linear_attn_heads,
+                    dim_head=self.global_linear_attn_dim_head,
+                    name=f"global_attn_{ind}",
+                )(feats, global_tokens, mask=mask)
+
+            feats, coors = EGNN(
+                dim=self.dim,
+                edge_dim=edge_dim + adj_dim,
+                norm_feats=True,
+                name=f"egnn_{ind}",
+                **kwargs,
+            )(
+                feats,
+                coors,
+                edges=edges,
+                mask=mask,
+                adj_mat=adj_mat,
+                deterministic=deterministic,
+            )
+            coor_changes.append(coors)
+
+        if return_coor_changes:
+            return feats, coors, coor_changes
+        return feats, coors

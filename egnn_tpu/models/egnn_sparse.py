@@ -1,0 +1,449 @@
+"""Sparse/COO-path E(n)-equivariant GNN.
+
+TPU-native re-implementation of the reference's PyG path
+(egnn_pytorch_geometric.py:99-439) without any torch-geometric machinery:
+messages are computed per-edge on a *static-capacity* COO edge list
+(``edge_index`` (2, E) + optional ``edge_mask`` for padding), and PyG's
+torch-scatter aggregation becomes XLA segment reductions
+(egnn_tpu/ops/segment.py). Static shapes throughout — pad E to a bucket and
+mask the tail, the TPU idiom for variable-size graphs.
+
+Layout contract matches PyG/the reference exactly:
+- ``x`` is (N, pos_dim + feats_dim), coordinates first
+  (egnn_pytorch_geometric.py:193); output is ``[coors_out | hidden_out]``.
+- messages flow source -> target: j = edge_index[0], i = edge_index[1];
+  ``rel_coors = coors[j] - coors[i]`` (egnn_pytorch_geometric.py:195 — note
+  the *opposite* sign convention from the dense path).
+- edge MLP input is ``[x_i, x_j, edge_attr, dist_feats]`` (edge_attr before
+  distance — egnn_pytorch_geometric.py:202-205, also opposite of dense).
+- the soft-edge gate applies only to the *feature* aggregation, after the
+  coordinate update consumed the ungated messages
+  (egnn_pytorch_geometric.py:254-257).
+- node norm is PyG's graph-mode LayerNorm (statistics over all node x channel
+  entries per graph — egnn_pytorch_geometric.py:156).
+- init is xavier-normal weights + zero biases (egnn_pytorch_geometric.py:176-180),
+  different from the dense path's Normal(1e-3).
+
+Deliberate fix-forwards of latent reference bugs (documented divergences):
+- ``coor_weights_clamp_value`` is honored (the reference ctor discards it and
+  its clamp branch references undefined names — egnn_pytorch_geometric.py:137,
+  241-243).
+- the global-attention interleave in the network works (the reference's
+  ordering bug at :388 vs :426-429 made it crash), using segment-softmax
+  attention instead of a per-graph Python loop (the reference's
+  ``Attention_Sparse.sparse_forward`` loop crashes on multi-graph input, :52).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.core import embed_tokens, fourier_encode_dist, layer_norm, coors_norm
+from ..ops.segment import graph_layer_norm, segment_aggregate, segment_softmax, segment_sum
+from . import init as inits
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class EGNNSparse(nn.Module):
+    """One COO-edge E(n)-equivariant message-passing layer (capability parity
+    with EGNN_Sparse, egnn_pytorch_geometric.py:99-271)."""
+
+    feats_dim: int
+    pos_dim: int = 3
+    edge_attr_dim: int = 0
+    m_dim: int = 16
+    fourier_features: int = 0
+    soft_edge: int = 0
+    norm_feats: bool = False
+    norm_coors: bool = False
+    norm_coors_scale_init: float = 1e-2
+    update_feats: bool = True
+    update_coors: bool = True
+    dropout: float = 0.0
+    coor_weights_clamp_value: Optional[float] = None
+    aggr: str = "add"
+
+    def _linear(self, name, d_in, d_out):
+        w = self.param(f"{name}_w", inits.xavier_normal_init, (d_in, d_out))
+        b = self.param(f"{name}_b", inits.zeros_init, (d_out,))
+        return w, b
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,              # (N, pos_dim + feats_dim)
+        edge_index: jnp.ndarray,     # (2, E) int — [senders/j, receivers/i]
+        edge_attr: Optional[jnp.ndarray] = None,  # (E, edge_attr_dim)
+        batch: Optional[jnp.ndarray] = None,      # (N,) graph ids
+        edge_mask: Optional[jnp.ndarray] = None,  # (E,) bool; False = padding
+        num_graphs: int = 1,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        assert self.aggr in {"add", "sum", "max", "mean"}, "pool method must be a valid option"
+        assert self.update_feats or self.update_coors, (
+            "you must update either features, coordinates, or both"
+        )
+        n = x.shape[0]
+        d = self.feats_dim
+        dist_dim = 2 * self.fourier_features + 1
+        ein = dist_dim + self.edge_attr_dim + 2 * d
+        hidden = ein * 2
+
+        coors = x[:, : self.pos_dim]
+        feats = x[:, self.pos_dim :]
+        j_idx = edge_index[0]
+        i_idx = edge_index[1]
+
+        edge_w1, edge_b1 = self._linear("edge_mlp_0", ein, hidden)
+        edge_w2, edge_b2 = self._linear("edge_mlp_1", hidden, self.m_dim)
+        if self.soft_edge:
+            gate_w, gate_b = self._linear("edge_weight", self.m_dim, 1)
+        if self.norm_feats:
+            nn_gamma = self.param("node_norm_gamma", inits.ones_init, (d,))
+            nn_beta = self.param("node_norm_beta", inits.zeros_init, (d,))
+        if self.norm_coors:
+            cn_scale = self.param(
+                "coors_norm_scale", inits.constant_init(self.norm_coors_scale_init), (1,)
+            )
+        if self.update_feats:
+            node_w1, node_b1 = self._linear("node_mlp_0", d + self.m_dim, d * 2)
+            node_w2, node_b2 = self._linear("node_mlp_1", d * 2, d)
+        if self.update_coors:
+            coors_w1, coors_b1 = self._linear("coors_mlp_0", self.m_dim, self.m_dim * 4)
+            coors_w2, coors_b2 = self._linear("coors_mlp_1", self.m_dim * 4, 1)
+        drop = nn.Dropout(rate=self.dropout)
+
+        # per-edge geometry (reference sign convention: coors[j] - coors[i])
+        rel_coors = coors[j_idx] - coors[i_idx]
+        rel_dist = jnp.sum(rel_coors**2, axis=-1, keepdims=True)
+
+        if self.fourier_features > 0:
+            dist_feats = fourier_encode_dist(
+                rel_dist[..., 0], num_encodings=self.fourier_features
+            )
+        else:
+            dist_feats = rel_dist
+
+        # Factorized first layer of the edge MLP: input layout is
+        # [x_i, x_j, edge_attr, dist_feats] (egnn_pytorch_geometric.py:202-214),
+        # so the two (N, d) @ (d, hidden) projections run per-node, not per-edge.
+        w_i = edge_w1[:d]
+        w_j = edge_w1[d : 2 * d]
+        w_e = edge_w1[2 * d : 2 * d + self.edge_attr_dim]
+        w_d = edge_w1[2 * d + self.edge_attr_dim :]
+
+        proj_i = feats @ w_i
+        proj_j = feats @ w_j
+        h1 = proj_i[i_idx] + proj_j[j_idx] + dist_feats @ w_d + edge_b1
+        if self.edge_attr_dim > 0:
+            assert edge_attr is not None, (
+                f"layer built with edge_attr_dim={self.edge_attr_dim} but no edge_attr given"
+            )
+            h1 = h1 + edge_attr @ w_e
+
+        m_ij = _silu(drop(h1, deterministic=deterministic))
+        m_ij = _silu(m_ij @ edge_w2 + edge_b2)  # (E, m_dim)
+
+        # ---- coordinate update ----
+        if self.update_coors:
+            cw = _silu(drop(m_ij @ coors_w1 + coors_b1, deterministic=deterministic))
+            coor_wij = cw @ coors_w2 + coors_b2  # (E, 1)
+            if self.coor_weights_clamp_value is not None:
+                # fix-forward: reference discards this option (see module docstring)
+                c = self.coor_weights_clamp_value
+                coor_wij = jnp.clip(coor_wij, -c, c)
+            rel_out = coors_norm(rel_coors, cn_scale) if self.norm_coors else rel_coors
+            mhat_i = segment_aggregate(
+                self.aggr, coor_wij * rel_out, i_idx, n, mask=edge_mask
+            )
+            coors_out = coors + mhat_i
+        else:
+            coors_out = coors
+
+        # ---- feature update ----
+        if self.update_feats:
+            if self.soft_edge:
+                m_ij = m_ij * jax.nn.sigmoid(m_ij @ gate_w + gate_b)
+            m_i = segment_aggregate(self.aggr, m_ij, i_idx, n, mask=edge_mask)
+            if self.norm_feats:
+                hidden_feats = graph_layer_norm(
+                    feats, batch, num_graphs, nn_gamma, nn_beta
+                )
+            else:
+                hidden_feats = feats
+            h = jnp.concatenate([hidden_feats, m_i], axis=-1)
+            h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
+            hidden_out = feats + (h @ node_w2 + node_b2)
+        else:
+            hidden_out = feats
+
+        return jnp.concatenate([coors_out, hidden_out], axis=-1)
+
+
+class AttentionSparse(nn.Module):
+    """Segmented multi-head cross attention between per-graph global tokens and
+    packed node sets (capability parity with Attention_Sparse,
+    egnn_pytorch_geometric.py:32-57, whose per-graph Python loop is replaced by
+    static segment-softmax — no dynamic shapes, no recursion, works for any
+    number of graphs under jit)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        self.wq = self.param("to_q_w", inits.xavier_normal_init, (self.dim, inner))
+        self.wkv = self.param("to_kv_w", inits.xavier_normal_init, (self.dim, inner * 2))
+        self.wo = self.param("to_out_w", inits.xavier_normal_init, (inner, self.dim))
+        self.bo = self.param("to_out_b", inits.zeros_init, (self.dim,))
+
+    def queries_to_nodes(
+        self,
+        queries: jnp.ndarray,   # (G, g, dim) per-graph query tokens
+        x: jnp.ndarray,         # (N, dim) packed nodes
+        batch: jnp.ndarray,     # (N,) graph ids
+        num_graphs: int,
+        node_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Tokens attend over their graph's nodes -> (G, g, dim)."""
+        h, dh = self.heads, self.dim_head
+        wq, wkv, wo, bo = self.wq, self.wkv, self.wo, self.bo
+        G, g, _ = queries.shape
+        n = x.shape[0]
+
+        q = (queries @ wq).reshape(G, g, h, dh)
+        kv = x @ wkv
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(n, h, dh)
+        v = v.reshape(n, h, dh)
+
+        # logits[n, g, h] = q[batch[n], g, h] . k[n, h]
+        qn = q[batch]  # (N, g, h, dh)
+        logits = jnp.einsum("nghd,nhd->ngh", qn, k) * (dh**-0.5)
+        flat = logits.reshape(n, g * h)
+        m = None if node_mask is None else node_mask[:, None] & jnp.ones_like(flat, bool)
+        attn = segment_softmax(flat, batch, num_graphs, mask=m)  # (N, g*h)
+        attn = attn.reshape(n, g, h)
+        ctx = jnp.einsum("ngh,nhd->nghd", attn, v).reshape(n, g * h * dh)
+        induced = segment_sum(ctx, batch, num_graphs).reshape(G, g, h * dh)
+        return induced @ wo + bo
+
+    def nodes_to_queries(
+        self,
+        x: jnp.ndarray,         # (N, dim)
+        context: jnp.ndarray,   # (G, g, dim) induced tokens
+        batch: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Nodes attend over their graph's (few) tokens -> (N, dim)."""
+        h, dh = self.heads, self.dim_head
+        wq, wkv, wo, bo = self.wq, self.wkv, self.wo, self.bo
+        G, g, _ = context.shape
+        n = x.shape[0]
+
+        q = (x @ wq).reshape(n, h, dh)
+        kv = context @ wkv
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(G, g, h, dh)[batch]  # (N, g, h, dh)
+        v = v.reshape(G, g, h, dh)[batch]
+        logits = jnp.einsum("nhd,nghd->ngh", q, k) * (dh**-0.5)
+        attn = jax.nn.softmax(logits, axis=1)  # over the g tokens
+        out = jnp.einsum("ngh,nghd->nhd", attn, v).reshape(n, h * dh)
+        return out @ wo + bo
+
+
+class GlobalLinearAttentionSparse(nn.Module):
+    """Per-graph induced-token attention block for packed node sets
+    (capability parity with GlobalLinearAttention_Sparse,
+    egnn_pytorch_geometric.py:60-94, which is unconstructable in the reference
+    due to a typo'd module path). Node-stream norms are PyG graph-mode
+    LayerNorms; the feed-forward residual follows the reference's sparse
+    variant (``ff(x_norm) + x_norm``, :92-93 — not the dense ``ff(x) + x``)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,          # (N, dim) packed node feats
+        queries: jnp.ndarray,    # (G, g, dim)
+        batch: jnp.ndarray,      # (N,)
+        num_graphs: int,
+        node_mask: Optional[jnp.ndarray] = None,
+    ):
+        d = self.dim
+        g_seq = self.param("norm_seq_gamma", inits.ones_init, (d,))
+        b_seq = self.param("norm_seq_beta", inits.zeros_init, (d,))
+        g_q = self.param("norm_queries_gamma", inits.ones_init, (d,))
+        b_q = self.param("norm_queries_beta", inits.zeros_init, (d,))
+
+        res_x, res_queries = x, queries
+        xn = graph_layer_norm(x, batch, num_graphs, g_seq, b_seq, node_mask=node_mask)
+        qn = layer_norm(queries, g_q, b_q)
+
+        attn = AttentionSparse(d, self.heads, self.dim_head, name="attn1")
+        induced = attn.queries_to_nodes(qn, xn, batch, num_graphs, node_mask=node_mask)
+        attn2 = AttentionSparse(d, self.heads, self.dim_head, name="attn2")
+        out = attn2.nodes_to_queries(xn, induced, batch)
+
+        x = out + res_x
+        queries = induced + res_queries
+
+        g_ff = self.param("ff_norm_gamma", inits.ones_init, (d,))
+        b_ff = self.param("ff_norm_beta", inits.zeros_init, (d,))
+        w1 = self.param("ff_w1", inits.xavier_normal_init, (d, d * 4))
+        b1 = self.param("ff_b1", inits.zeros_init, (d * 4,))
+        w2 = self.param("ff_w2", inits.xavier_normal_init, (d * 4, d))
+        b2 = self.param("ff_b2", inits.zeros_init, (d,))
+
+        x_norm = graph_layer_norm(x, batch, num_graphs, g_ff, b_ff, node_mask=node_mask)
+        x = jax.nn.gelu(x_norm @ w1 + b1, approximate=False) @ w2 + b2 + x_norm
+        return x, queries
+
+
+class EGNNSparseNetwork(nn.Module):
+    """Stack of EGNNSparse layers with list-driven categorical embeddings,
+    optional per-graph global attention, and a dynamic-edge ``recalc`` hook
+    (capability parity with EGNN_Sparse_Network,
+    egnn_pytorch_geometric.py:274-439).
+
+    ``recalc_edge`` is the caller-supplied dynamic-graph hook: every ``recalc``
+    layers it re-derives ``(edge_index, edge_attr, edge_mask)`` from the
+    current ``x`` (reference :432-434 returns a 3-tuple too). On TPU it must
+    return static shapes — use egnn_tpu.ops.graph.knn_graph/radius_graph.
+    """
+
+    n_layers: int
+    feats_dim: int
+    pos_dim: int = 3
+    edge_attr_dim: int = 0
+    m_dim: int = 16
+    fourier_features: int = 0
+    soft_edge: int = 0
+    embedding_nums: Sequence[int] = ()
+    embedding_dims: Sequence[int] = ()
+    edge_embedding_nums: Sequence[int] = ()
+    edge_embedding_dims: Sequence[int] = ()
+    update_coors: bool = True
+    update_feats: bool = True
+    norm_feats: bool = True
+    norm_coors: bool = False
+    norm_coors_scale_init: float = 1e-2
+    dropout: float = 0.0
+    coor_weights_clamp_value: Optional[float] = None
+    aggr: str = "add"
+    global_linear_attn_every: int = 0
+    global_linear_attn_heads: int = 8
+    global_linear_attn_dim_head: int = 64
+    num_global_tokens: int = 4
+    recalc: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        batch: Optional[jnp.ndarray] = None,
+        edge_attr: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        num_graphs: int = 1,
+        recalc_edge: Optional[Callable] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        # Embedding-adjusted dims: each categorical column is replaced by its
+        # embedding (feats_dim += emb_dim - 1 per table,
+        # egnn_pytorch_geometric.py:334-342).
+        feats_dim = self.feats_dim + sum(d - 1 for d in self.embedding_dims)
+        edge_attr_dim = self.edge_attr_dim + sum(d - 1 for d in self.edge_embedding_dims)
+
+        emb_tables = [
+            self.param(f"emb_{i}", inits.unit_normal_init, (num, dim))
+            for i, (num, dim) in enumerate(zip(self.embedding_nums, self.embedding_dims))
+        ]
+        edge_emb_tables = [
+            self.param(f"edge_emb_{i}", inits.unit_normal_init, (num, dim))
+            for i, (num, dim) in enumerate(
+                zip(self.edge_embedding_nums, self.edge_embedding_dims)
+            )
+        ]
+
+        has_global_attn = self.global_linear_attn_every > 0
+        if has_global_attn:
+            tokens = self.param(
+                "global_tokens", inits.unit_normal_init,
+                (self.num_global_tokens, feats_dim),
+            )
+            global_tokens = jnp.broadcast_to(tokens, (num_graphs,) + tokens.shape)
+        if batch is None:
+            batch_ids = jnp.zeros((x.shape[0],), dtype=jnp.int32)
+        else:
+            batch_ids = batch
+
+        # node categorical columns -> embeddings (once, egnn_pytorch_geometric.py:402)
+        x_coors = x[:, : self.pos_dim]
+        x_feats = embed_tokens(x[:, self.pos_dim :], list(self.embedding_dims), emb_tables)
+        x = jnp.concatenate([x_coors, x_feats], axis=-1)
+
+        edges_need_embedding = True
+        for i in range(self.n_layers):
+            if edges_need_embedding and edge_attr is not None:
+                edge_attr = embed_tokens(
+                    edge_attr, list(self.edge_embedding_dims), edge_emb_tables
+                )
+                edges_need_embedding = False
+
+            is_global_layer = has_global_attn and (i % self.global_linear_attn_every) == 0
+            if is_global_layer:
+                feats_part = x[:, self.pos_dim :]
+                feats_part, global_tokens = GlobalLinearAttentionSparse(
+                    dim=feats_dim,
+                    heads=self.global_linear_attn_heads,
+                    dim_head=self.global_linear_attn_dim_head,
+                    name=f"global_attn_{i}",
+                )(feats_part, global_tokens, batch_ids, num_graphs)
+                x = jnp.concatenate([x[:, : self.pos_dim], feats_part], axis=-1)
+
+            x = EGNNSparse(
+                feats_dim=feats_dim,
+                pos_dim=self.pos_dim,
+                edge_attr_dim=edge_attr_dim,
+                m_dim=self.m_dim,
+                fourier_features=self.fourier_features,
+                soft_edge=self.soft_edge,
+                norm_feats=self.norm_feats,
+                norm_coors=self.norm_coors,
+                norm_coors_scale_init=self.norm_coors_scale_init,
+                update_feats=self.update_feats,
+                update_coors=self.update_coors,
+                dropout=self.dropout,
+                coor_weights_clamp_value=self.coor_weights_clamp_value,
+                aggr=self.aggr,
+                name=f"mpnn_{i}",
+            )(
+                x,
+                edge_index,
+                edge_attr=edge_attr,
+                batch=batch,
+                edge_mask=edge_mask,
+                num_graphs=num_graphs,
+                deterministic=deterministic,
+            )
+
+            if (
+                self.recalc
+                and recalc_edge is not None
+                and (i % self.recalc == 0)
+                and i != self.n_layers - 1
+            ):
+                edge_index, edge_attr, edge_mask = recalc_edge(x)
+                edges_need_embedding = True
+
+        return x

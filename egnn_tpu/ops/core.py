@@ -1,0 +1,114 @@
+"""Primitive numerics shared by the dense and sparse EGNN paths.
+
+These functions reproduce the *behavior* of the reference library's helpers
+(`/root/reference/egnn_pytorch/egnn_pytorch.py:10-77`) with JAX/XLA-idiomatic
+implementations: pure functions, static shapes, no in-place mutation.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def exists(val) -> bool:
+    return val is not None
+
+
+def default_float():
+    """Default floating dtype honoring jax_enable_x64 (f64 in tests, f32 in prod)."""
+    return jnp.zeros((), dtype=float).dtype
+
+
+def safe_div(num: jnp.ndarray, den: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Masked-mean division: clamp denominator to ``eps``, zero where denom == 0.
+
+    Mirrors reference ``safe_div`` (egnn_pytorch.py:13-16).
+    """
+    res = num / jnp.clip(den, min=eps)
+    return jnp.where(den == 0, jnp.zeros((), dtype=res.dtype), res)
+
+
+def fourier_encode_dist(
+    x: jnp.ndarray, num_encodings: int = 4, include_self: bool = True
+) -> jnp.ndarray:
+    """Fourier-feature encoding of a scalar distance channel.
+
+    ``x`` of shape (...,) -> (..., 2*num_encodings + include_self):
+    scales ``2**arange(K)``, emits ``[sin(x/s), cos(x/s), x]``.
+    Mirrors reference ``fourier_encode_dist`` (egnn_pytorch.py:34-41).
+    """
+    x = x[..., None]
+    scales = 2 ** jnp.arange(num_encodings, dtype=x.dtype)
+    xs = x / scales
+    out = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], axis=-1)
+    if include_self:
+        out = jnp.concatenate([out, x], axis=-1)
+    return out
+
+
+def batched_index_select(values: jnp.ndarray, indices: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Gather ``values`` along ``axis`` with a batched index tensor.
+
+    Matches reference ``batched_index_select`` (egnn_pytorch.py:18-32): ``indices``
+    has the batch dims of ``values[:axis]`` plus arbitrary extra dims; the result
+    keeps ``values``' trailing dims. E.g. values (b, n, d), indices (b, i, k),
+    axis=1 -> (b, i, k, d) where out[b,i,k] = values[b, indices[b,i,k]].
+    """
+    value_dims = values.shape[axis + 1:]
+    n_extra = indices.ndim - axis  # index dims replacing the selected axis
+    # Expand values with singleton dims so that take_along_axis broadcasts.
+    v = values
+    for _ in range(n_extra - 1):
+        v = jnp.expand_dims(v, axis)
+    idx = indices.reshape(indices.shape + (1,) * len(value_dims))
+    return jnp.take_along_axis(v, idx, axis=axis + n_extra - 1)
+
+
+def coors_norm(
+    coors: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Normalize relative coordinates to unit length, rescale by learned scalar.
+
+    Mirrors reference ``CoorsNorm`` (egnn_pytorch.py:67-77): L2 norm over the last
+    axis, clamped to ``eps``; ``scale`` is a learned (1,)-shaped parameter.
+    """
+    norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
+    normed = coors / jnp.clip(norm, min=eps)
+    return normed * scale
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    gamma: Optional[jnp.ndarray],
+    beta: Optional[jnp.ndarray],
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """torch.nn.LayerNorm semantics over the last axis (biased variance)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma
+    if beta is not None:
+        out = out + beta
+    return out
+
+
+def embed_tokens(x: jnp.ndarray, dims, tables) -> jnp.ndarray:
+    """Replace trailing integer columns of ``x`` with embedding lookups.
+
+    Mirrors reference ``embedd_token`` (egnn_pytorch.py:43-52): the last
+    ``len(dims)`` columns are interpreted as integer token ids; each column i is
+    replaced (left to right) by ``tables[i][token]`` concatenated to the right.
+    ``tables`` are (num_embeddings, embedding_dim) arrays.
+    """
+    if not dims:
+        return x
+    stop_concat = -len(dims)
+    to_embed = x[:, stop_concat:].astype(jnp.int32)
+    for i, table in enumerate(tables):
+        x = jnp.concatenate([x[:, :stop_concat], table[to_embed[:, i]]], axis=-1)
+        stop_concat = x.shape[-1]
+    return x

@@ -1,0 +1,137 @@
+"""Segment (scatter) reductions for the COO/sparse path.
+
+TPU-native replacement for the reference's torch-scatter dependency
+(egnn_pytorch_geometric.py:126, 248, 258 — PyG ``MessagePassing.aggregate``).
+Built on ``jax.ops.segment_*`` which XLA lowers to efficient sorted-scatter;
+all shapes static (edge counts padded + masked by the caller).
+
+Semantics parity notes:
+- ``add``/``sum``: plain segment sum; masked (padding) edges contribute 0.
+- ``mean``: sum / count with count clamped like the reference's masked mean.
+- ``max``: empty segments yield 0 (torch-scatter's fill value in PyG).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    if mask is not None:
+        data = jnp.where(mask[..., None], data, jnp.zeros((), data.dtype))
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    ones = jnp.ones(segment_ids.shape, dtype=dtype)
+    if mask is not None:
+        ones = jnp.where(mask, ones, jnp.zeros((), dtype))
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    total = segment_sum(data, segment_ids, num_segments, mask)
+    count = segment_count(segment_ids, num_segments, mask, dtype=data.dtype)
+    return total / jnp.clip(count[..., None], min=1.0)
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    neg_inf = jnp.asarray(-jnp.inf, data.dtype)
+    if mask is not None:
+        data = jnp.where(mask[..., None], data, neg_inf)
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    # Empty segments come back as -inf; PyG/torch-scatter fill them with 0.
+    return jnp.where(jnp.isneginf(out), jnp.zeros((), data.dtype), out)
+
+
+def segment_aggregate(
+    aggr: str,
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch matching EGNN_Sparse's ``aggr in {add, sum, max, mean}``
+    (egnn_pytorch_geometric.py:123)."""
+    if aggr in ("add", "sum"):
+        return segment_sum(data, segment_ids, num_segments, mask)
+    if aggr == "mean":
+        return segment_mean(data, segment_ids, num_segments, mask)
+    if aggr == "max":
+        return segment_max(data, segment_ids, num_segments, mask)
+    raise ValueError(f"unknown aggr {aggr!r}; must be add/sum/max/mean")
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Numerically-stable softmax within each segment (for sparse attention)."""
+    neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, neg_inf)
+    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isneginf(seg_max), jnp.zeros((), logits.dtype), seg_max)
+    shifted = logits - seg_max[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        exp = jnp.where(mask, exp, jnp.zeros((), exp.dtype))
+    denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    return exp / jnp.clip(denom[segment_ids], min=jnp.finfo(exp.dtype).tiny)
+
+
+def graph_layer_norm(
+    x: jnp.ndarray,
+    batch: Optional[jnp.ndarray],
+    num_graphs: int,
+    gamma: Optional[jnp.ndarray],
+    beta: Optional[jnp.ndarray],
+    eps: float = 1e-5,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """PyG-style graph-mode LayerNorm (torch_geometric.nn.norm.LayerNorm,
+    mode='graph', used at egnn_pytorch_geometric.py:156): statistics over all
+    node x channel entries of each graph, biased variance."""
+    n, d = x.shape
+    if batch is None:
+        batch = jnp.zeros((n,), dtype=jnp.int32)
+        num_graphs = 1
+    count = segment_count(batch, num_graphs, node_mask, dtype=x.dtype) * d
+    count = jnp.clip(count, min=1.0)
+    total = segment_sum(x, batch, num_graphs, node_mask).sum(axis=-1)
+    mean = (total / count)[batch][:, None]
+    centered = x - mean
+    if node_mask is not None:
+        centered = jnp.where(node_mask[:, None], centered, jnp.zeros((), x.dtype))
+    sq = segment_sum(centered**2, batch, num_graphs, node_mask).sum(axis=-1)
+    var = (sq / count)[batch][:, None]
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma
+    if beta is not None:
+        out = out + beta
+    return out

@@ -1,0 +1,254 @@
+"""Activation-level parity vs the torch reference implementation.
+
+The reference package (read-only at /root/reference) is imported as a test
+*oracle*: identical weights are injected into both implementations and outputs
+are compared allclose in float64. This pins our numerics to the reference's
+exact semantics (BASELINE.md correctness baseline).
+
+Skipped automatically if torch or the reference checkout are unavailable.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE_PATH = "/root/reference"
+if REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)
+
+try:
+    from egnn_pytorch.egnn_pytorch import EGNN as TorchEGNN
+    from egnn_pytorch.egnn_pytorch import EGNN_Network as TorchEGNNNetwork
+
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+from egnn_tpu import EGNN, EGNNNetwork
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference not importable")
+
+torch.set_default_dtype(torch.float64)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def _copy_sequential_mlp(params, prefix, torch_seq, linear_positions):
+    """Copy torch nn.Sequential Linear weights (transposed) into our flat params."""
+    for our_idx, pos in enumerate(linear_positions):
+        lin = torch_seq[pos]
+        params[f"{prefix}_{our_idx}_w"] = t2j(lin.weight).T
+        params[f"{prefix}_{our_idx}_b"] = t2j(lin.bias)
+
+
+def inject_egnn_params(torch_layer) -> dict:
+    """Map a reference EGNN module's weights onto our parameter dict."""
+    p = {}
+    _copy_sequential_mlp(p, "edge_mlp", torch_layer.edge_mlp, (0, 3))
+    if torch_layer.coors_mlp is not None:
+        _copy_sequential_mlp(p, "coors_mlp", torch_layer.coors_mlp, (0, 3))
+    if torch_layer.node_mlp is not None:
+        _copy_sequential_mlp(p, "node_mlp", torch_layer.node_mlp, (0, 3))
+    if torch_layer.edge_gate is not None:
+        p["edge_gate_w"] = t2j(torch_layer.edge_gate[0].weight).T
+        p["edge_gate_b"] = t2j(torch_layer.edge_gate[0].bias)
+    node_norm = torch_layer.node_norm
+    if isinstance(node_norm, torch.nn.LayerNorm):
+        p["node_norm_gamma"] = t2j(node_norm.weight)
+        p["node_norm_beta"] = t2j(node_norm.bias)
+    coors_norm = torch_layer.coors_norm
+    if hasattr(coors_norm, "scale"):
+        p["coors_norm_scale"] = t2j(coors_norm.scale)
+    return p
+
+
+def _compare_layer(torch_layer, jax_layer, feats, coors, edges=None, mask=None,
+                   adj_mat=None, atol=1e-9):
+    tkw = {}
+    if edges is not None:
+        tkw["edges"] = torch.tensor(np.asarray(edges))
+    if mask is not None:
+        tkw["mask"] = torch.tensor(np.asarray(mask))
+    if adj_mat is not None:
+        tkw["adj_mat"] = torch.tensor(np.asarray(adj_mat))
+    with torch.no_grad():
+        tf, tc = torch_layer(
+            torch.tensor(np.asarray(feats)), torch.tensor(np.asarray(coors)), **tkw
+        )
+
+    params = {"params": inject_egnn_params(torch_layer)}
+    jf, jc = jax_layer.apply(params, feats, coors, edges=edges, mask=mask, adj_mat=adj_mat)
+
+    np.testing.assert_allclose(jf, tf.numpy(), atol=atol, rtol=1e-7)
+    np.testing.assert_allclose(jc, tc.numpy(), atol=atol, rtol=1e-7)
+
+
+def test_parity_dense_allpairs():
+    torch.manual_seed(0)
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 4)
+    feats = jax.random.normal(keys[0], (2, 16, 64))
+    coors = jax.random.normal(keys[1], (2, 16, 3))
+    edges = jax.random.normal(keys[2], (2, 16, 16, 4))
+    mask = jnp.arange(16)[None, :] < jnp.array([[16], [13]])
+
+    tl = TorchEGNN(dim=64, edge_dim=4)
+    jl = EGNN(dim=64, edge_dim=4)
+    _compare_layer(tl, jl, feats, coors, edges, mask)
+
+
+def test_parity_dense_fourier_norm():
+    torch.manual_seed(1)
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.split(key, 3)
+    feats = jax.random.normal(keys[0], (1, 12, 32))
+    coors = jax.random.normal(keys[1], (1, 12, 3))
+
+    tl = TorchEGNN(dim=32, fourier_features=4, norm_coors=True, norm_feats=True,
+                   m_pool_method="mean", soft_edges=True,
+                   coor_weights_clamp_value=2.0)
+    jl = EGNN(dim=32, fourier_features=4, norm_coors=True, norm_feats=True,
+              m_pool_method="mean", soft_edges=True,
+              coor_weights_clamp_value=2.0)
+    _compare_layer(tl, jl, feats, coors)
+
+
+def test_parity_dense_knn():
+    """kNN path on random coords (no distance ties -> identical selection)."""
+    torch.manual_seed(2)
+    key = jax.random.PRNGKey(2)
+    keys = jax.random.split(key, 4)
+    feats = jax.random.normal(keys[0], (1, 64, 32))
+    coors = jax.random.normal(keys[1], (1, 64, 3))
+    edges = jax.random.normal(keys[2], (1, 64, 64, 2))
+    mask = jnp.arange(64)[None, :] < 60
+
+    tl = TorchEGNN(dim=32, edge_dim=2, num_nearest_neighbors=8)
+    jl = EGNN(dim=32, edge_dim=2, num_nearest_neighbors=8)
+    _compare_layer(tl, jl, feats, coors, edges, mask)
+
+
+def test_parity_dense_knn_valid_radius():
+    torch.manual_seed(3)
+    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(key, 2)
+    feats = jax.random.normal(keys[0], (1, 32, 16))
+    coors = 2.0 * jax.random.normal(keys[1], (1, 32, 3))
+    mask = jnp.ones((1, 32), dtype=bool)
+
+    tl = TorchEGNN(dim=16, num_nearest_neighbors=6, valid_radius=2.5)
+    jl = EGNN(dim=16, num_nearest_neighbors=6, valid_radius=2.5)
+    _compare_layer(tl, jl, feats, coors, mask=mask)
+
+
+def test_parity_mean_pool_no_mask():
+    torch.manual_seed(4)
+    key = jax.random.PRNGKey(4)
+    keys = jax.random.split(key, 2)
+    feats = jax.random.normal(keys[0], (1, 10, 16))
+    coors = jax.random.normal(keys[1], (1, 10, 3))
+    tl = TorchEGNN(dim=16, m_pool_method="mean")
+    jl = EGNN(dim=16, m_pool_method="mean")
+    _compare_layer(tl, jl, feats, coors)
+
+
+def inject_network_params(torch_net, depth) -> dict:
+    p = {}
+    if torch_net.token_emb is not None:
+        p["token_emb"] = t2j(torch_net.token_emb.weight)
+    if torch_net.pos_emb is not None:
+        p["pos_emb"] = t2j(torch_net.pos_emb.weight)
+    if torch_net.edge_emb is not None:
+        p["edge_emb"] = t2j(torch_net.edge_emb.weight)
+    if torch_net.adj_emb is not None:
+        p["adj_emb"] = t2j(torch_net.adj_emb.weight)
+    if torch_net.global_tokens is not None:
+        p["global_tokens"] = t2j(torch_net.global_tokens)
+    for ind, (gattn, egnn) in enumerate(torch_net.layers):
+        p[f"egnn_{ind}"] = inject_egnn_params(egnn)
+        if gattn is not None:
+            ga = {}
+            ga["norm_seq_gamma"] = t2j(gattn.norm_seq.weight)
+            ga["norm_seq_beta"] = t2j(gattn.norm_seq.bias)
+            ga["norm_queries_gamma"] = t2j(gattn.norm_queries.weight)
+            ga["norm_queries_beta"] = t2j(gattn.norm_queries.bias)
+            for name, attn in (("attn1", gattn.attn1), ("attn2", gattn.attn2)):
+                ga[name] = {
+                    "to_q_w": t2j(attn.to_q.weight).T,
+                    "to_kv_w": t2j(attn.to_kv.weight).T,
+                    "to_out_w": t2j(attn.to_out.weight).T,
+                    "to_out_b": t2j(attn.to_out.bias),
+                }
+            # torch ff: [LayerNorm, Linear, GELU, Linear]
+            ga["ff_norm_gamma"] = t2j(gattn.ff[0].weight)
+            ga["ff_norm_beta"] = t2j(gattn.ff[0].bias)
+            ga["ff_w1"] = t2j(gattn.ff[1].weight).T
+            ga["ff_b1"] = t2j(gattn.ff[1].bias)
+            ga["ff_w2"] = t2j(gattn.ff[3].weight).T
+            ga["ff_b2"] = t2j(gattn.ff[3].bias)
+            p[f"global_attn_{ind}"] = ga
+    return p
+
+
+def test_parity_network_full():
+    """EGNN_Network end-to-end: tokens, positions, adjacency degrees + adj
+    embedding, global linear attention — untested in the reference, pinned here."""
+    torch.manual_seed(5)
+    depth = 3
+    n = 24
+    tnet = TorchEGNNNetwork(
+        depth=depth,
+        dim=32,
+        num_tokens=21,
+        num_positions=n,
+        num_adj_degrees=2,
+        adj_dim=4,
+        global_linear_attn_every=2,
+        global_linear_attn_heads=2,
+        global_linear_attn_dim_head=8,
+        num_nearest_neighbors=6,
+        coor_weights_clamp_value=2.0,
+        norm_coors=True,
+    )
+    jnet = EGNNNetwork(
+        depth=depth,
+        dim=32,
+        num_tokens=21,
+        num_positions=n,
+        num_adj_degrees=2,
+        adj_dim=4,
+        global_linear_attn_every=2,
+        global_linear_attn_heads=2,
+        global_linear_attn_dim_head=8,
+        layer_kwargs=dict(
+            num_nearest_neighbors=6, coor_weights_clamp_value=2.0, norm_coors=True
+        ),
+    )
+
+    key = jax.random.PRNGKey(5)
+    keys = jax.random.split(key, 3)
+    feats = jax.random.randint(keys[0], (2, n), 0, 21)
+    coors = jax.random.normal(keys[1], (2, n, 3))
+    ar = jnp.arange(n)
+    adj = jnp.abs(ar[:, None] - ar[None, :]) == 1
+    mask = jnp.arange(n)[None, :] < jnp.array([[n], [n - 4]])
+
+    with torch.no_grad():
+        tf, tc = tnet(
+            torch.tensor(np.asarray(feats)),
+            torch.tensor(np.asarray(coors)),
+            adj_mat=torch.tensor(np.asarray(adj)),
+            mask=torch.tensor(np.asarray(mask)),
+        )
+
+    params = {"params": inject_network_params(tnet, depth)}
+    jf, jc = jnet.apply(params, feats, coors, adj_mat=adj, mask=mask)
+
+    np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)

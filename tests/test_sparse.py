@@ -1,0 +1,239 @@
+"""Sparse/COO path tests: the reference's two sparse tests
+(tests/test_equivariance.py:105-159) plus coverage the reference lacks —
+aggregation options, padded-edge invariance, multi-graph batches, global
+attention, network embeddings, and the dynamic-edge recalc hook."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egnn_tpu import EGNNSparse, EGNNSparseNetwork
+from egnn_tpu.ops.graph import knn_graph
+from egnn_tpu.utils import rot
+
+ATOL = 1e-6
+
+
+def _apply_action(t, R, T):
+    return (t @ R + T.reshape(1, 3))
+
+
+def test_egnn_sparse_equivariance():
+    """Mirror of the reference sparse equivariance test: feats_dim=1,
+    fourier=4, random 20-edge COO graph over 16 nodes."""
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 6)
+    layer = EGNNSparse(feats_dim=1, m_dim=16, fourier_features=4)
+
+    R = rot(*jax.random.uniform(keys[0], (3,)))
+    T = jax.random.normal(keys[1], (1, 3))
+
+    feats = jax.random.normal(keys[2], (16, 1))
+    coors = jax.random.normal(keys[3], (16, 3))
+    edge_idxs = (jax.random.uniform(keys[4], (2, 20)) * 16).astype(jnp.int32)
+
+    feats_perm = feats.at[0].set(feats[1]).at[1].set(feats[0])
+
+    x1 = jnp.concatenate([coors, feats], axis=-1)
+    x2 = jnp.concatenate([_apply_action(coors, R, T), feats], axis=-1)
+    x3 = jnp.concatenate([_apply_action(coors, R, T), feats_perm], axis=-1)
+
+    params = jax.jit(layer.init)(keys[5], x1, edge_idxs)
+    apply = jax.jit(layer.apply)
+    out1 = apply(params, x1, edge_idxs)
+    out2 = apply(params, x2, edge_idxs)
+    out3 = apply(params, x3, edge_idxs)
+
+    feats1, coors1 = out1[:, 3:], out1[:, :3]
+    feats2, coors2 = out2[:, 3:], out2[:, :3]
+    feats3 = out3[:, 3:]
+
+    np.testing.assert_allclose(feats1, feats2, atol=ATOL, err_msg="features must be invariant")
+    np.testing.assert_allclose(
+        _apply_action(coors1, R, T), coors2, atol=ATOL,
+        err_msg="coordinates must be equivariant",
+    )
+    assert not np.allclose(feats1, feats3, atol=ATOL)
+
+
+def test_geom_equivalence():
+    """Shape contract: output shape == input shape (reference :146-159)."""
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.split(key, 5)
+    layer = EGNNSparse(feats_dim=128, edge_attr_dim=4, m_dim=16, fourier_features=4)
+
+    feats = jax.random.normal(keys[0], (16, 128))
+    coors = jax.random.normal(keys[1], (16, 3))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    edge_idxs = (jax.random.uniform(keys[2], (2, 20)) * 16).astype(jnp.int32)
+    dense_attrs = jax.random.normal(keys[3], (16, 16, 4))
+    edge_attr = dense_attrs[edge_idxs[0], edge_idxs[1]]
+
+    params = jax.jit(layer.init)(keys[4], x, edge_idxs, edge_attr)
+    out = jax.jit(layer.apply)(params, x, edge_idxs, edge_attr)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean", "max"])
+def test_sparse_aggregation_options(aggr):
+    key = jax.random.PRNGKey(2)
+    keys = jax.random.split(key, 5)
+    layer = EGNNSparse(feats_dim=8, aggr=aggr, norm_feats=True, norm_coors=True)
+    feats = jax.random.normal(keys[0], (12, 8))
+    coors = jax.random.normal(keys[1], (12, 3))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    edge_idxs = (jax.random.uniform(keys[2], (2, 30)) * 12).astype(jnp.int32)
+
+    R = rot(*jax.random.uniform(keys[3], (3,)))
+    T = jax.random.normal(keys[3], (1, 3))
+    x_rot = jnp.concatenate([_apply_action(coors, R, T), feats], axis=-1)
+
+    params = jax.jit(layer.init)(keys[4], x, edge_idxs)
+    apply = jax.jit(layer.apply)
+    out1 = apply(params, x, edge_idxs)
+    out2 = apply(params, x_rot, edge_idxs)
+    np.testing.assert_allclose(out1[:, 3:], out2[:, 3:], atol=ATOL)
+    if aggr != "max":
+        # componentwise max over w_ij*rel_coors is not rotation-equivariant
+        # (same in the reference, which max-pools the coordinate messages too —
+        # egnn_pytorch_geometric.py:248); only sum/mean preserve equivariance.
+        np.testing.assert_allclose(_apply_action(out1[:, :3], R, T), out2[:, :3], atol=ATOL)
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean", "max"])
+def test_padded_edges_are_inert(aggr):
+    """Core TPU contract: growing edge capacity with masked padding must not
+    change any output."""
+    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(key, 4)
+    layer = EGNNSparse(feats_dim=8, aggr=aggr, soft_edge=1)
+    feats = jax.random.normal(keys[0], (10, 8))
+    coors = jax.random.normal(keys[1], (10, 3))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    E = 24
+    edge_idxs = (jax.random.uniform(keys[2], (2, E)) * 10).astype(jnp.int32)
+    mask_all = jnp.ones((E,), dtype=bool)
+
+    params = jax.jit(layer.init)(keys[3], x, edge_idxs)
+    apply = jax.jit(layer.apply)
+    out_ref = apply(params, x, edge_idxs, None, None, mask_all)
+
+    # pad with 8 junk edges, masked out
+    junk = (jax.random.uniform(keys[2], (2, 8)) * 10).astype(jnp.int32)
+    padded_idx = jnp.concatenate([edge_idxs, junk], axis=1)
+    padded_mask = jnp.concatenate([mask_all, jnp.zeros((8,), bool)])
+    out_pad = apply(params, x, padded_idx, None, None, padded_mask)
+    np.testing.assert_allclose(out_ref, out_pad, atol=1e-12)
+
+
+def test_sparse_clamp_honored():
+    """Fix-forward divergence: coor_weights_clamp_value works on the sparse
+    path (the reference silently discards it)."""
+    key = jax.random.PRNGKey(4)
+    keys = jax.random.split(key, 4)
+    l_clamped = EGNNSparse(feats_dim=4, coor_weights_clamp_value=1e-6)
+    l_free = EGNNSparse(feats_dim=4)
+    feats = jax.random.normal(keys[0], (8, 4))
+    coors = 10.0 * jax.random.normal(keys[1], (8, 3))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    edge_idxs = (jax.random.uniform(keys[2], (2, 16)) * 8).astype(jnp.int32)
+
+    params = jax.jit(l_free.init)(keys[3], x, edge_idxs)
+    out_free = jax.jit(l_free.apply)(params, x, edge_idxs)
+    out_clamped = jax.jit(l_clamped.apply)(params, x, edge_idxs)
+    # clamped coordinate update must be (near) frozen; features unchanged
+    np.testing.assert_allclose(out_clamped[:, :3], coors, atol=1e-4)
+    np.testing.assert_allclose(out_clamped[:, 3:], out_free[:, 3:], atol=1e-12)
+
+
+def test_sparse_network_with_embeddings_and_recalc():
+    """EGNN_Sparse_Network capability: categorical embeddings for node/edge
+    features, multi-graph batch, dynamic-edge recalc via knn_graph."""
+    key = jax.random.PRNGKey(5)
+    keys = jax.random.split(key, 6)
+    n, k = 20, 4
+    net = EGNNSparseNetwork(
+        n_layers=3,
+        feats_dim=5,  # 4 continuous + 1 categorical column
+        embedding_nums=[7],
+        embedding_dims=[6],
+        edge_attr_dim=1,  # 1 categorical edge column
+        edge_embedding_nums=[5],
+        edge_embedding_dims=[3],
+        m_dim=8,
+        norm_feats=True,
+        recalc=2,
+    )
+    coors = jax.random.normal(keys[0], (n, 3))
+    cont = jax.random.normal(keys[1], (n, 4))
+    cat = jax.random.randint(keys[2], (n, 1), 0, 7).astype(cont.dtype)
+    x = jnp.concatenate([coors, cont, cat], axis=-1)
+    batch = jnp.concatenate([jnp.zeros(10, jnp.int32), jnp.ones(10, jnp.int32)])
+
+    es = knn_graph(coors, k)
+    edge_attr = jax.random.randint(keys[3], (es.senders.shape[0], 1), 0, 5).astype(cont.dtype)
+
+    def recalc_edge(x_now):
+        es2 = knn_graph(x_now[:, :3], k)
+        ea = jnp.zeros((es2.senders.shape[0], 1), x_now.dtype)
+        return es2.edge_index, ea, es2.mask
+
+    params = net.init(
+        keys[4], x, es.edge_index, batch, edge_attr, es.mask,
+        num_graphs=2, recalc_edge=recalc_edge,
+    )
+    out = net.apply(
+        params, x, es.edge_index, batch, edge_attr, es.mask,
+        num_graphs=2, recalc_edge=recalc_edge,
+    )
+    assert out.shape == (n, 3 + 4 + 6)  # feats: 4 cont + 6 emb
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_sparse_network_global_attention_equivariance():
+    """Fixed global-attention interleave: runs, and stays equivariant."""
+    key = jax.random.PRNGKey(6)
+    keys = jax.random.split(key, 6)
+    n = 14
+    net = EGNNSparseNetwork(
+        n_layers=2,
+        feats_dim=8,
+        m_dim=8,
+        global_linear_attn_every=1,
+        global_linear_attn_heads=2,
+        global_linear_attn_dim_head=4,
+        num_global_tokens=3,
+    )
+    coors = jax.random.normal(keys[0], (n, 3))
+    feats = jax.random.normal(keys[1], (n, 8))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    batch = jnp.concatenate([jnp.zeros(8, jnp.int32), jnp.ones(6, jnp.int32)])
+    es = knn_graph(coors, 3)
+
+    R = rot(*jax.random.uniform(keys[2], (3,)))
+    T = jax.random.normal(keys[3], (1, 3))
+    x_rot = jnp.concatenate([_apply_action(coors, R, T), feats], axis=-1)
+
+    init = jax.jit(net.init, static_argnames=("num_graphs",))
+    apply = jax.jit(net.apply, static_argnames=("num_graphs",))
+    params = init(keys[4], x, es.edge_index, batch, None, es.mask, num_graphs=2)
+    out1 = apply(params, x, es.edge_index, batch, None, es.mask, num_graphs=2)
+    out2 = apply(params, x_rot, es.edge_index, batch, None, es.mask, num_graphs=2)
+
+    np.testing.assert_allclose(out1[:, 3:], out2[:, 3:], atol=ATOL)
+    np.testing.assert_allclose(_apply_action(out1[:, :3], R, T), out2[:, :3], atol=ATOL)
+
+
+def test_knn_graph_masked():
+    """knn_graph respects node masks and never links invalid nodes."""
+    key = jax.random.PRNGKey(7)
+    coors = jax.random.normal(key, (12, 3))
+    node_mask = jnp.arange(12) < 9
+    es = knn_graph(coors, 4, node_mask=node_mask)
+    # no valid edge touches an invalid node
+    touch_invalid = (~node_mask[es.senders] | ~node_mask[es.receivers]) & es.mask
+    assert not bool(touch_invalid.any())
+    # invalid receivers have zero valid edges
+    per_node = jax.ops.segment_sum(es.mask.astype(jnp.int32), es.receivers, num_segments=12)
+    assert bool((per_node[9:] == 0).all())
+    assert bool((per_node[:9] == 4).all())
