@@ -1,0 +1,131 @@
+"""North-star benchmark (BASELINE.md): edges/s/chip on a 1024-node kNN=8
+EGNN forward+backward — anchor config 3 (EGNN_Network depth 3, dim 32,
+1024 nodes, kNN 8, mask + clamp + norm_coors; README.md:50-68,156-174).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md), so ``vs_baseline``
+is the speedup over the torch reference implementation running the same
+config on this machine's CPU (the only hardware the reference can use here).
+That number is measured once and cached in BASELINE_LOCAL.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / "BASELINE_LOCAL.json"
+
+# config 3
+DEPTH, DIM, N, KNN, BATCH = 3, 32, 1024, 8, 1
+STEPS, WARMUP = 20, 3
+EDGES_PER_STEP = BATCH * N * KNN * DEPTH
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from egnn_tpu import EGNNNetwork
+    from egnn_tpu.training import TrainState, make_adam, make_denoise_train_step
+    from egnn_tpu.training.data import synthetic_chain_batch
+
+    net = EGNNNetwork(
+        depth=DEPTH, dim=DIM, num_tokens=21, num_positions=N,
+        layer_kwargs=dict(
+            num_nearest_neighbors=KNN, norm_coors=True, coor_weights_clamp_value=2.0
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    b = synthetic_chain_batch(key, BATCH, N)
+    params = jax.jit(net.init)(
+        key, b.tokens, b.noised_coors, adj_mat=b.adj_mat, mask=b.mask
+    )["params"]
+    state = TrainState.create(params, make_adam(1e-3))
+    step_fn = make_denoise_train_step(net)
+
+    def run(state, steps):
+        loss = None
+        for _ in range(steps):
+            state, loss = step_fn(
+                state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
+            )
+        jax.block_until_ready(state.params)
+        return state, loss
+
+    state, _ = run(state, WARMUP)
+    t0 = time.perf_counter()
+    state, loss = run(state, STEPS)
+    dt = time.perf_counter() - t0
+    assert jnp.isfinite(loss), f"non-finite loss {loss}"
+    return STEPS * EDGES_PER_STEP / dt
+
+
+def bench_torch_reference() -> float:
+    """Measure the reference implementation (torch CPU — its only runnable
+    hardware here) on the identical config; cached across rounds."""
+    if CACHE.exists():
+        data = json.loads(CACHE.read_text())
+        if data.get("config") == [DEPTH, DIM, N, KNN, BATCH]:
+            return data["edges_per_s"]
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from egnn_pytorch.egnn_pytorch import EGNN_Network as TorchNet
+
+    torch.manual_seed(0)
+    net = TorchNet(
+        depth=DEPTH, dim=DIM, num_tokens=21, num_positions=N,
+        num_nearest_neighbors=KNN, norm_coors=True, coor_weights_clamp_value=2.0,
+    )
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    tokens = torch.randint(0, 21, (BATCH, N))
+    coors = torch.randn(BATCH, N, 3)
+    target = torch.randn(BATCH, N, 3)
+    mask = torch.ones(BATCH, N, dtype=torch.bool)
+    ar = torch.arange(N)
+    adj = (ar[:, None] - ar[None, :]).abs() == 1
+
+    def step():
+        opt.zero_grad()
+        feats, out = net(tokens, coors, adj_mat=adj, mask=mask)
+        loss = torch.nn.functional.mse_loss(out[mask], target[mask])
+        loss.backward()
+        opt.step()
+
+    steps = 5
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    eps = steps * EDGES_PER_STEP / dt
+    CACHE.write_text(
+        json.dumps({"config": [DEPTH, DIM, N, KNN, BATCH], "edges_per_s": eps,
+                    "hardware": "torch CPU (reference's runnable hw here)"})
+    )
+    return eps
+
+
+def main():
+    edges_per_s = bench_tpu()
+    try:
+        baseline = bench_torch_reference()
+        vs = edges_per_s / baseline
+    except Exception as e:  # pragma: no cover
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "egnn_fwd_bwd_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s (1024-node kNN=8 depth=3 EGNN_Network fwd+bwd, TPU v5e chip)",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

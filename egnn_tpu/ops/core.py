@@ -73,10 +73,16 @@ def coors_norm(
 
     Mirrors reference ``CoorsNorm`` (egnn_pytorch.py:67-77): L2 norm over the last
     axis, clamped to ``eps``; ``scale`` is a learned (1,)-shaped parameter.
+
+    The clamp is applied *inside* the sqrt (max(sqrt(s), eps) == sqrt(max(s, eps^2)),
+    so the forward is identical) because jnp.linalg.norm has a NaN gradient at 0
+    — and zero vectors always occur: kNN selects each node's self-pair (distance
+    0, egnn_pytorch.py:258). torch defines a zero subgradient there; this
+    formulation gives the same zero gradient under JAX autodiff.
     """
-    norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
-    normed = coors / jnp.clip(norm, min=eps)
-    return normed * scale
+    sum_sq = jnp.sum(coors**2, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.clip(sum_sq, min=eps * eps))
+    return coors / norm * scale
 
 
 def layer_norm(

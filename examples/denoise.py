@@ -1,0 +1,112 @@
+"""Coordinate-denoising training example — end-to-end parity with the
+reference's denoise_sparse.py workload: EGNN_Network(depth 5, dim 8(+),
+kNN 16, fourier 2, norm_coors, clamp 2.0, chain adjacency, pos embeddings),
+Adam 1e-3 with 16-step grad accumulation, MSE on masked coordinates
+(denoise_sparse.py:23-78) — but jitted, checkpointed (orbax), and on
+synthetic chain data (sidechainnet is external to both frameworks).
+
+Run: python examples/denoise.py --steps 50 [--cpu] [--ckpt-dir DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--nodes", type=int, default=384)
+    ap.add_argument("--dim", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--knn", type=int, default=16)
+    ap.add_argument("--grad-accum", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ckpt-dir", type=str, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from egnn_tpu import EGNNNetwork
+    from egnn_tpu.training import (
+        CheckpointManager,
+        TrainState,
+        make_adam,
+        make_denoise_train_step,
+        masked_mse,
+    )
+    from egnn_tpu.training.data import synthetic_chain_batch
+
+    print(f"devices: {jax.devices()}")
+    net = EGNNNetwork(
+        depth=args.depth,
+        dim=args.dim,
+        num_tokens=21,
+        num_positions=args.nodes,
+        layer_kwargs=dict(
+            num_nearest_neighbors=args.knn,
+            fourier_features=2,
+            norm_coors=True,
+            coor_weights_clamp_value=2.0,
+        ),
+    )
+
+    key = jax.random.PRNGKey(0)
+    k_init, k_data = jax.random.split(key)
+    batch0 = synthetic_chain_batch(k_data, args.batch, args.nodes)
+    params = jax.jit(net.init)(
+        k_init, batch0.tokens, batch0.noised_coors,
+        adj_mat=batch0.adj_mat, mask=batch0.mask,
+    )["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"params: {n_params:,}")
+
+    tx = make_adam(args.lr, grad_accum=args.grad_accum)
+    state = TrainState.create(params, tx)
+
+    mgr = None
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        if args.resume and mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"resumed from step {int(state.step)}")
+
+    step_fn = make_denoise_train_step(net, masked_mse)
+    gen = jax.jit(lambda k: synthetic_chain_batch(k, args.batch, args.nodes))
+    split = jax.jit(jax.random.split)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        k_data, k_b = split(k_data)
+        b = gen(k_b)
+        state, loss = step_fn(
+            state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
+        )
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:5d}  loss {float(loss):.4f}")
+        if mgr is not None and i > 0 and i % 100 == 0:
+            mgr.save(int(state.step), state)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+    print(f"{args.steps} steps in {dt:.2f}s ({args.steps / dt:.2f} steps/s)")
+
+    if mgr is not None:
+        mgr.save(int(state.step), state)
+        mgr.wait()
+        print(f"checkpointed at step {int(state.step)}")
+        mgr.close()
+
+
+if __name__ == "__main__":
+    main()
