@@ -54,7 +54,11 @@ def bench_tpu() -> float:
             state, loss = step_fn(
                 state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
             )
-        jax.block_until_ready(state.params)
+        # Force a device->host fetch: through remote-TPU tunnels,
+        # block_until_ready can return before execution completes, and
+        # repeat executions with identical inputs may be served from cache.
+        # The loss of the final step depends on the whole step chain.
+        float(loss)
         return state, loss
 
     state, _ = run(state, WARMUP)

@@ -130,8 +130,6 @@ class EGNN(nn.Module):
         w_e = edge_w1[2 * d + dist_dim :]
 
         # ---- pairwise geometry ----
-        rel_coors, rel_dist = nb.pairwise_geometry(coors)  # (b,n,n,c), (b,n,n)
-
         nbhd = None
         if use_nearest:
             if self.only_sparse_neighbors:
@@ -144,13 +142,20 @@ class EGNN(nn.Module):
             adj_b = None
             if adj_mat is not None:
                 adj_b = adj_mat if adj_mat.ndim == 3 else jnp.broadcast_to(adj_mat, (b, n, n))
-            ranking = nb.knn_ranking(rel_dist, mask=mask, adj_mat=adj_b)
-            nbhd = nb.select_neighborhood(ranking, num_nearest, valid_radius)
-
-            rel_coors = batched_index_select(rel_coors, nbhd.indices, axis=2)
-            rel_dist = jnp.take_along_axis(rel_dist, nbhd.indices, axis=2)
+            # Fused Pallas kernel on TPU; jnp fallback elsewhere. The O(n^2)
+            # distance pass lives only inside the selection (stop_gradient);
+            # differentiable geometry is recomputed on the (b, n, k) pairs so
+            # the autodiff graph never holds an (n, n) tensor.
+            nbhd = nb.knn_select(
+                coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b
+            )
+            coors_j = batched_index_select(coors, nbhd.indices, axis=1)  # (b,n,k,c)
+            rel_coors = coors[:, :, None, :] - coors_j
+            rel_dist = jnp.sum(rel_coors**2, axis=-1)
             if edges is not None:
                 edges = batched_index_select(edges, nbhd.indices, axis=2)
+        else:
+            rel_coors, rel_dist = nb.pairwise_geometry(coors)  # (b,n,n,c), (b,n,n)
 
         # ---- distance features ----
         if fourier > 0:

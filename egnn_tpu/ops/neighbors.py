@@ -83,6 +83,47 @@ def select_neighborhood(
     return Neighborhood(indices=indices, ranking=vals, valid=valid)
 
 
+def knn_select(
+    coors: jnp.ndarray,
+    num_nearest: int,
+    valid_radius: float,
+    mask: Optional[jnp.ndarray] = None,
+    adj_mat: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> Neighborhood:
+    """End-to-end neighbor selection from coordinates: pairwise squared
+    distance -> ranking fills -> static-k selection (egnn_pytorch.py:232-260).
+
+    On TPU this dispatches to the fused Pallas kernel (ops/pallas/knn.py),
+    which streams j-tiles through VMEM and never materializes the (b, n, n)
+    ranking in HBM. Elsewhere (and for tiny graphs) it falls back to the jnp
+    path. Selection is wrapped in stop_gradient: indices are integral and the
+    ranking values only feed the <=radius validity comparison, so the O(n^2)
+    distance pass stays out of the autodiff graph entirely — callers recompute
+    rel geometry differentiably on the selected (b, n, k) pairs.
+    """
+    coors = jax.lax.stop_gradient(coors)
+    n = coors.shape[1]
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() != "cpu"
+        and n >= 128
+        and 1 <= num_nearest <= 128
+    )
+    if use_pallas:
+        from .pallas.knn import knn_select_pallas
+
+        vals, indices = knn_select_pallas(coors, num_nearest, mask=mask, adj_mat=adj_mat)
+        vals = vals.astype(coors.dtype)
+        valid = vals <= jnp.asarray(valid_radius, vals.dtype)
+        return Neighborhood(indices=indices, ranking=vals, valid=valid)
+
+    _, rel_dist = pairwise_geometry(coors)
+    ranking = knn_ranking(rel_dist, mask=mask, adj_mat=adj_mat)
+    return select_neighborhood(ranking, num_nearest, valid_radius)
+
+
 def expand_adjacency_degrees(
     adj_mat: jnp.ndarray, num_adj_degrees: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

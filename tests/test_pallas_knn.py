@@ -1,0 +1,86 @@
+"""Pallas kNN-select kernel vs the jnp reference path (interpret mode, CPU).
+
+The kernel must reproduce ops/neighbors.py's ranking-fill rules and
+lax.top_k's lowest-index tie-breaking exactly (ties are the common case: the
+self fill -1 and adjacency fill 0 create large tie groups —
+egnn_pytorch.py:252-258). Integer-valued coordinates make f32 distances exact
+so comparisons are bitwise, not approximate.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egnn_tpu.ops import neighbors as nb
+from egnn_tpu.ops.pallas.knn import knn_select_pallas
+
+
+def _jnp_reference(coors, k, valid_radius, mask=None, adj_mat=None):
+    _, rel_dist = nb.pairwise_geometry(coors)
+    ranking = nb.knn_ranking(rel_dist, mask=mask, adj_mat=adj_mat)
+    return nb.select_neighborhood(ranking, k, valid_radius)
+
+
+def _random_case(seed, b, n, c, k, with_mask, with_adj, integer_coords=True):
+    rng = np.random.RandomState(seed)
+    if integer_coords:
+        coors = rng.randint(-8, 8, size=(b, n, c)).astype(np.float32)
+    else:
+        coors = rng.randn(b, n, c).astype(np.float32)
+    mask = rng.rand(b, n) > 0.2 if with_mask else None
+    adj = None
+    if with_adj:
+        adj = np.zeros((b, n, n), dtype=bool)
+        ar = np.arange(n)
+        adj[:, ar[:-1], ar[1:]] = True
+        adj[:, ar[1:], ar[:-1]] = True
+        extra = rng.rand(b, n, n) < 0.01
+        adj |= extra | np.swapaxes(extra, 1, 2)
+        adj[:, ar, ar] = False
+    return (
+        jnp.asarray(coors),
+        jnp.asarray(mask) if mask is not None else None,
+        jnp.asarray(adj) if adj is not None else None,
+    )
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("with_adj", [False, True])
+@pytest.mark.parametrize("n,k", [(128, 8), (256, 16), (200, 3)])
+def test_matches_jnp_path(with_mask, with_adj, n, k):
+    coors, mask, adj = _random_case(
+        hash((with_mask, with_adj, n, k)) % 2**31, 2, n, 3, k, with_mask, with_adj
+    )
+    vals, idx = knn_select_pallas(coors, k, mask=mask, adj_mat=adj, interpret=True)
+    ref = _jnp_reference(coors, k, valid_radius=float("inf"), mask=mask, adj_mat=adj)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
+    np.testing.assert_array_equal(
+        np.asarray(vals), np.asarray(ref.ranking, dtype=np.float32)
+    )
+
+
+def test_many_exact_ties():
+    # Duplicate coordinates: every distance ties; lowest-index must win.
+    coors = jnp.asarray(
+        np.tile(np.arange(4)[:, None], (1, 3))[None].repeat(32, axis=0).reshape(1, -1, 3),
+        dtype=jnp.float32,
+    )  # 128 nodes, 32 copies of each of 4 points
+    k = 9
+    vals, idx = knn_select_pallas(coors, k, interpret=True)
+    ref = _jnp_reference(coors, k, valid_radius=float("inf"))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
+
+
+def test_higher_dim_coords():
+    coors, _, _ = _random_case(7, 1, 160, 5, 6, False, False)
+    vals, idx = knn_select_pallas(coors, 6, interpret=True)
+    ref = _jnp_reference(coors, 6, valid_radius=float("inf"))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
+
+
+def test_dispatcher_cpu_fallback_matches():
+    coors, mask, adj = _random_case(3, 2, 150, 3, 4, True, True)
+    nbhd = nb.knn_select(coors, 4, 0.0, mask=mask, adj_mat=adj)
+    ref = _jnp_reference(coors, 4, valid_radius=0.0, mask=mask, adj_mat=adj)
+    np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
+    np.testing.assert_array_equal(np.asarray(nbhd.valid), np.asarray(ref.valid))
