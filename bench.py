@@ -22,7 +22,7 @@ CACHE = REPO / "BASELINE_LOCAL.json"
 
 # config 3
 DEPTH, DIM, N, KNN, BATCH = 3, 32, 1024, 8, 1
-STEPS, WARMUP = 20, 3
+STEPS, WARMUP = 50, 3
 EDGES_PER_STEP = BATCH * N * KNN * DEPTH
 
 
@@ -48,22 +48,31 @@ def bench_tpu() -> float:
     state = TrainState.create(params, make_adam(1e-3))
     step_fn = make_denoise_train_step(net)
 
-    def run(state, steps):
-        loss = None
-        for _ in range(steps):
-            state, loss = step_fn(
-                state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
+    # All timed steps run inside ONE jitted lax.scan so remote-dispatch
+    # latency is paid once, not per step — otherwise tunnel round-trips
+    # (~ms) dominate and the chip is mismeasured.
+    @jax.jit
+    def run_scan(state, steps_dummy):
+        def body(st, _):
+            st, loss = step_fn(
+                st, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
             )
-        # Force a device->host fetch: through remote-TPU tunnels,
-        # block_until_ready can return before execution completes, and
-        # repeat executions with identical inputs may be served from cache.
-        # The loss of the final step depends on the whole step chain.
-        float(loss)
-        return state, loss
+            return st, loss
+        state, losses = jax.lax.scan(body, state, None, length=STEPS)
+        return state, losses[-1]
 
-    state, _ = run(state, WARMUP)
+    # warmup: compile + a few steps (also de-correlates the timed input state)
+    state, _ = run_scan(state, None)
+    # Force a device->host fetch: through remote-TPU tunnels,
+    # block_until_ready can return before execution completes, and repeat
+    # executions with identical inputs may be served from a replay cache.
+    # The final loss depends on the whole step chain, so fetching it forces
+    # full execution.
+    state2, loss = run_scan(state, None)
+    float(loss)
     t0 = time.perf_counter()
-    state, loss = run(state, STEPS)
+    state3, loss = run_scan(state2, None)
+    loss = float(loss)  # fetch inside the timed region — forces execution
     dt = time.perf_counter() - t0
     assert jnp.isfinite(loss), f"non-finite loss {loss}"
     return STEPS * EDGES_PER_STEP / dt
