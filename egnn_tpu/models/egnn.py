@@ -70,6 +70,14 @@ class EGNN(nn.Module):
     m_pool_method: str = "sum"
     soft_edges: bool = False
     coor_weights_clamp_value: Optional[float] = None
+    # TPU-native extras (absent in the reference):
+    # stream_pairwise: None = auto (stream the all-pairs path when n >= 1024),
+    # True/False = force. Streaming computes pairwise messages as a j-chunked
+    # scan with rematerialization — O(n·chunk) memory instead of O(n^2)
+    # (ops/pairwise_stream.py). Only applies to the no-kNN, no-dense-edges
+    # path; dropout>0 in training falls back to the materialized path.
+    stream_pairwise: Optional[bool] = None
+    pairwise_chunk: Optional[int] = None
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
@@ -128,6 +136,61 @@ class EGNN(nn.Module):
         w_j = edge_w1[d : 2 * d]
         w_d = edge_w1[2 * d : 2 * d + dist_dim]
         w_e = edge_w1[2 * d + dist_dim :]
+
+        # ---- streamed all-pairs path (no (n, n) HBM intermediates) ----
+        can_stream = (
+            not use_nearest
+            and edges is None
+            and (self.dropout == 0.0 or deterministic)
+        )
+        do_stream = (
+            self.stream_pairwise if self.stream_pairwise is not None else n >= 1024
+        )
+        if can_stream and do_stream:
+            from ..ops.pairwise_stream import PairwiseParams, streamed_pairwise
+
+            pp = PairwiseParams(
+                w_d=w_d,
+                edge_w2=edge_w2,
+                edge_b2=edge_b2,
+                gate_w=gate_w if self.soft_edges else None,
+                gate_b=gate_b if self.soft_edges else None,
+                coors_w1=coors_w1 if self.update_coors else None,
+                coors_b1=coors_b1 if self.update_coors else None,
+                coors_w2=coors_w2 if self.update_coors else None,
+                coors_b2=coors_b2 if self.update_coors else None,
+                cn_scale=cn_scale if self.norm_coors else None,
+            )
+            res = streamed_pairwise(
+                coors,
+                feats @ w_i + edge_b1,
+                feats @ w_j,
+                pp,
+                mask=mask,
+                fourier_features=fourier,
+                update_coors=self.update_coors,
+                update_feats=self.update_feats,
+                soft_edges=self.soft_edges,
+                norm_coors=self.norm_coors,
+                coor_weights_clamp_value=self.coor_weights_clamp_value,
+                chunk=self.pairwise_chunk,
+            )
+            coors_out = coors + res.coors_delta if self.update_coors else coors
+            if self.update_feats:
+                if self.m_pool_method == "mean":
+                    if mask is not None:
+                        m_i = safe_div(res.m_i, res.pair_count[..., None])
+                    else:
+                        m_i = res.m_i / n
+                else:
+                    m_i = res.m_i
+                normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
+                h = jnp.concatenate([normed, m_i], axis=-1)
+                h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
+                node_out = h @ node_w2 + node_b2 + feats
+            else:
+                node_out = feats
+            return node_out, coors_out
 
         # ---- pairwise geometry ----
         nbhd = None
