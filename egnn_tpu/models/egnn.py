@@ -78,6 +78,12 @@ class EGNN(nn.Module):
     # path; dropout>0 in training falls back to the materialized path.
     stream_pairwise: Optional[bool] = None
     pairwise_chunk: Optional[int] = None
+    # ring_axis: mesh axis name for ring-rotated node-sharded all-pairs
+    # compute (parallel/ring.py). The module must then be applied inside
+    # shard_map with the node dimension sharded on that axis and params
+    # replicated; each device computes its i-shard while j-shards rotate
+    # around the ICI ring via ppermute.
+    ring_axis: Optional[str] = None
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
@@ -143,7 +149,7 @@ class EGNN(nn.Module):
             and edges is None
             and (self.dropout == 0.0 or deterministic)
         )
-        do_stream = (
+        do_stream = self.ring_axis is not None or (
             self.stream_pairwise if self.stream_pairwise is not None else n >= 1024
         )
         if can_stream and do_stream:
@@ -161,27 +167,36 @@ class EGNN(nn.Module):
                 coors_b2=coors_b2 if self.update_coors else None,
                 cn_scale=cn_scale if self.norm_coors else None,
             )
-            res = streamed_pairwise(
-                coors,
-                feats @ w_i + edge_b1,
-                feats @ w_j,
-                pp,
-                mask=mask,
+            pair_opts = dict(
                 fourier_features=fourier,
                 update_coors=self.update_coors,
                 update_feats=self.update_feats,
                 soft_edges=self.soft_edges,
                 norm_coors=self.norm_coors,
                 coor_weights_clamp_value=self.coor_weights_clamp_value,
-                chunk=self.pairwise_chunk,
             )
+            n_total = n
+            if self.ring_axis is not None:
+                from ..parallel.ring import ring_pairwise
+
+                res = ring_pairwise(
+                    coors, feats @ w_i + edge_b1, feats @ w_j, pp, mask=mask,
+                    axis_name=self.ring_axis, **pair_opts,
+                )
+                # inside shard_map n is the local shard size
+                n_total = n * jax.lax.axis_size(self.ring_axis)
+            else:
+                res = streamed_pairwise(
+                    coors, feats @ w_i + edge_b1, feats @ w_j, pp, mask=mask,
+                    chunk=self.pairwise_chunk, **pair_opts,
+                )
             coors_out = coors + res.coors_delta if self.update_coors else coors
             if self.update_feats:
                 if self.m_pool_method == "mean":
                     if mask is not None:
                         m_i = safe_div(res.m_i, res.pair_count[..., None])
                     else:
-                        m_i = res.m_i / n
+                        m_i = res.m_i / n_total
                 else:
                     m_i = res.m_i
                 normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats

@@ -63,6 +63,79 @@ def _auto_chunk(b: int, n: int, hidden: int, budget_bytes: int = 64 * 1024 * 102
     return cj
 
 
+def pairwise_block(
+    coors_i: jnp.ndarray,      # (b, ni, c)
+    proj_i: jnp.ndarray,       # (b, ni, hidden) — feats_i @ W_i + edge_b1
+    coors_j: jnp.ndarray,      # (b, nj, c)
+    proj_j: jnp.ndarray,       # (b, nj, hidden) — feats_j @ W_j
+    pair_valid,                # (b, ni, nj) bool or None (= all valid)
+    params: PairwiseParams,
+    *,
+    fourier_features: int = 0,
+    update_coors: bool = True,
+    update_feats: bool = True,
+    soft_edges: bool = False,
+    norm_coors: bool = False,
+    coor_weights_clamp_value: Optional[float] = None,
+    coors_norm_eps: float = 1e-8,
+):
+    """One (i-block x j-block) of the dense pairwise pipeline: distance
+    features -> edge MLP -> [gate] -> coordinate weights + message pooling.
+
+    Returns partial sums ``(m_sum (b,ni,m), coors_delta (b,ni,c), count
+    (b,ni))`` to be accumulated over j-blocks by the caller (the j-chunk scan
+    below, or the ring steps in parallel/ring.py). Math and masking order
+    mirror the reference's all-pairs branch (egnn_pytorch.py:282-333)."""
+    dtype = proj_i.dtype
+    b, ni, c = coors_i.shape
+
+    rel = coors_i[:, :, None, :] - coors_j[:, None, :, :]   # (b, ni, nj, c)
+    dist = jnp.sum(rel * rel, axis=-1)                      # (b, ni, nj)
+
+    if fourier_features > 0:
+        dist_feats = fourier_encode_dist(dist, num_encodings=fourier_features)
+    else:
+        dist_feats = dist[..., None]
+
+    h1 = proj_i[:, :, None, :] + proj_j[:, None, :, :] + dist_feats @ params.w_d
+    m_ij = _silu(_silu(h1) @ params.edge_w2 + params.edge_b2)   # (b, ni, nj, m)
+
+    if soft_edges:
+        m_ij = m_ij * jax.nn.sigmoid(m_ij @ params.gate_w + params.gate_b)
+
+    m_dim = params.edge_w2.shape[-1]
+    m_sum = jnp.zeros((b, ni, m_dim), dtype)
+    coors_delta = jnp.zeros((b, ni, c), coors_i.dtype)
+    count = jnp.zeros((b, ni), dtype)
+
+    if update_coors:
+        cw = _silu(m_ij @ params.coors_w1 + params.coors_b1)
+        w_ij = (cw @ params.coors_w2 + params.coors_b2)[..., 0]   # (b, ni, nj)
+        if norm_coors:
+            norm = jnp.sqrt(
+                jnp.clip(dist, min=coors_norm_eps * coors_norm_eps)
+            )[..., None]
+            rel_n = rel / norm * params.cn_scale
+        else:
+            rel_n = rel
+        if pair_valid is not None:
+            w_ij = jnp.where(pair_valid, w_ij, jnp.zeros((), dtype))
+        if coor_weights_clamp_value is not None:
+            cval = coor_weights_clamp_value
+            w_ij = jnp.clip(w_ij, -cval, cval)
+        coors_delta = jnp.einsum("bij,bijc->bic", w_ij, rel_n)
+
+    if update_feats:
+        if pair_valid is not None:
+            m_ij = jnp.where(pair_valid[..., None], m_ij, jnp.zeros((), dtype))
+            count = pair_valid.sum(axis=-1).astype(dtype)
+        else:
+            count = jnp.full((b, ni), m_ij.shape[-2], dtype)
+        m_sum = m_ij.sum(axis=-2)
+
+    return m_sum, coors_delta, count
+
+
 def streamed_pairwise(
     coors: jnp.ndarray,        # (b, n, c)
     proj_i: jnp.ndarray,       # (b, n, hidden) — feats @ W_i + edge_b1
@@ -111,49 +184,24 @@ def streamed_pairwise(
         pj = jax.lax.dynamic_slice(proj_j_p, (0, j0, 0), (b, cj, hidden))
         jv = jax.lax.dynamic_slice(jvalid, (j0,), (cj,))
 
-        rel = coors[:, :, None, :] - coors_j[:, None, :, :]   # (b, n, cj, c)
-        dist = jnp.sum(rel * rel, axis=-1)                    # (b, n, cj)
-
-        if fourier_features > 0:
-            dist_feats = fourier_encode_dist(dist, num_encodings=fourier_features)
-        else:
-            dist_feats = dist[..., None]
-
-        h1 = proj_i[:, :, None, :] + pj[:, None, :, :] + dist_feats @ params.w_d
-        m_ij = _silu(_silu(h1) @ params.edge_w2 + params.edge_b2)  # (b, n, cj, m)
-
-        if soft_edges:
-            m_ij = m_ij * jax.nn.sigmoid(m_ij @ params.gate_w + params.gate_b)
-
         # pair validity: real-j AND (mask_i & mask_j) when mask given
         # (reference order egnn_pytorch.py:292-300)
-        pv = jnp.broadcast_to(jv[None, None, :], dist.shape)
+        pv = jnp.broadcast_to(jv[None, None, :], (b, n, cj))
         if mask is not None:
             mj = jax.lax.dynamic_slice(mask_j_p, (0, j0), (b, cj))
             pv = pv & (mask[:, :, None] & mj[:, None, :])
 
-        if update_coors:
-            cw = _silu(m_ij @ params.coors_w1 + params.coors_b1)
-            w_ij = (cw @ params.coors_w2 + params.coors_b2)[..., 0]  # (b, n, cj)
-            if norm_coors:
-                norm = jnp.sqrt(
-                    jnp.clip(dist, min=coors_norm_eps * coors_norm_eps)
-                )[..., None]
-                rel_n = rel / norm * params.cn_scale
-            else:
-                rel_n = rel
-            w_ij = jnp.where(pv, w_ij, jnp.zeros((), dtype))
-            if coor_weights_clamp_value is not None:
-                cval = coor_weights_clamp_value
-                w_ij = jnp.clip(w_ij, -cval, cval)
-            acc_c = acc_c + jnp.einsum("bij,bijc->bic", w_ij, rel_n)
-
-        if update_feats:
-            m_ij = jnp.where(pv[..., None], m_ij, jnp.zeros((), dtype))
-            acc_m = acc_m + m_ij.sum(axis=-2)
-            acc_cnt = acc_cnt + pv.sum(axis=-1).astype(dtype)
-
-        return (acc_m, acc_c, acc_cnt), None
+        m_sum, c_delta, cnt = pairwise_block(
+            coors, proj_i, coors_j, pj, pv, params,
+            fourier_features=fourier_features,
+            update_coors=update_coors,
+            update_feats=update_feats,
+            soft_edges=soft_edges,
+            norm_coors=norm_coors,
+            coor_weights_clamp_value=coor_weights_clamp_value,
+            coors_norm_eps=coors_norm_eps,
+        )
+        return (acc_m + m_sum, acc_c + c_delta, acc_cnt + cnt), None
 
     init = (
         jnp.zeros((b, n, m_dim), dtype),

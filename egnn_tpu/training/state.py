@@ -118,3 +118,65 @@ def make_sharded_denoise_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_ring_denoise_train_step(
+    net,
+    mesh: Mesh,
+    data_axis: str = "data",
+    graph_axis: str = "graph",
+) -> Callable:
+    """Explicit shard_map train step for the ring-parallel dense path.
+
+    Unlike make_sharded_denoise_train_step (GSPMD annotate-and-let-XLA), this
+    places every collective by hand: the batch is sharded over ``data_axis``,
+    the node dimension over ``graph_axis``; inside each shard the EGNN layers
+    (built with ``ring_axis=graph_axis``) rotate j-shards around the ICI ring
+    via ppermute (parallel/ring.py), the masked-MSE loss is psum-reduced, and
+    gradients are psum'd over both axes. Requirements: the network's layers
+    use the all-pairs ring path (no kNN/adjacency), no positional embedding
+    (position ids would be shard-local), no global attention.
+    """
+    axes = (data_axis, graph_axis)
+
+    def sharded_value_grad(params, tokens, noised, clean, mask):
+        # Differentiate the LOCAL loss contribution and psum values+grads
+        # afterwards. (Differentiating a psum'd loss instead would re-psum
+        # the replicated cotangent under check_vma=False and scale gradients
+        # by the axis size.) The global denominator carries no parameter
+        # dependence, so psum'ing it inside is safe.
+        def loss_local(p):
+            feats, denoised = net.apply(
+                {"params": p}, tokens, noised, mask=mask
+            )
+            err = (denoised - clean) ** 2 * mask[..., None].astype(denoised.dtype)
+            den = jax.lax.psum(
+                mask.sum().astype(err.dtype) * denoised.shape[-1], axes
+            )
+            return err.sum() / jnp.maximum(den, 1.0)
+
+        loss_l, grads_l = jax.value_and_grad(loss_local)(params)
+        loss = jax.lax.psum(loss_l, axes)
+        grads = jax.lax.psum(grads_l, axes)
+        return loss, grads
+
+    P_ = P
+    sharded_value_grad = jax.shard_map(
+        sharded_value_grad,
+        mesh=mesh,
+        in_specs=(
+            P_(),                                  # params replicated
+            P_(data_axis, graph_axis),             # tokens (b, n)
+            P_(data_axis, graph_axis, None),       # noised coors
+            P_(data_axis, graph_axis, None),       # clean coors
+            P_(data_axis, graph_axis),             # mask
+        ),
+        out_specs=(P_(), P_()),
+        check_vma=False,
+    )
+
+    def step(state: TrainState, tokens, noised, clean, mask):
+        loss, grads = sharded_value_grad(state.params, tokens, noised, clean, mask)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, donate_argnums=(0,))
