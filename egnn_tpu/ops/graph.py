@@ -90,6 +90,13 @@ def radius_graph(
     flat_dist = jnp.where(ok, dist, big).reshape(-1)
     neg_vals, flat_idx = jax.lax.top_k(-flat_dist, max_edges)
     mask = (-neg_vals) < big
+    # Re-sort the selected edges receiver-major: TPU segment reductions are
+    # several times faster on destination-sorted edge lists (sorted scatter);
+    # all builders in this module emit that layout. Padding sorts last.
+    sort_key = jnp.where(mask, flat_idx, n * n)
+    order = jnp.argsort(sort_key)
+    flat_idx = flat_idx[order]
+    mask = mask[order]
     receivers = (flat_idx // n).astype(jnp.int32)
     senders = (flat_idx % n).astype(jnp.int32)
     senders = jnp.where(mask, senders, 0)
