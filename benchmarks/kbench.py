@@ -1,0 +1,122 @@
+"""Kernel micro-benchmark harness with roofline accounting (SURVEY.md §5.1/§6).
+
+Times each hot op on the attached TPU and reports achieved FLOP/s / bandwidth
+against v5e peaks. Run on TPU:  python benchmarks/kbench.py [--quick]
+
+Ops covered:
+- pallas kNN-select vs the XLA distance-matrix+top_k path
+- segment-sum on destination-sorted vs shuffled edge layout
+- streamed all-pairs EGNN layer fwd and fwd+bwd (pairs/s)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egnn_tpu.ops import neighbors as nb
+from egnn_tpu.ops.pallas.knn import knn_select_pallas
+from egnn_tpu.utils.profiling import Roofline, chain_calls, measure_op, time_fn
+
+
+def bench_knn(n=1024, k=8, c=3, reps=(200, 1000)):
+    rng = np.random.RandomState(0)
+    coors = jnp.asarray(rng.randn(1, n, c).astype(np.float32))
+    lo, hi = reps
+    flops = n * n * (3 * c + 4 * k)  # dist build + k extraction rounds
+    bytes_ = n * (4 * c + 8 * k)
+    cases = (
+        ("knn_pallas", lambda x: knn_select_pallas(x, k)),
+        ("knn_xla", lambda x: nb.select_neighborhood(
+            nb.knn_ranking(nb.pairwise_geometry(x)[1]), k, 0.0)[:2]),
+    )
+    out = []
+    for name, fn in cases:
+        t = measure_op(fn, coors, reps_lo=lo, reps_hi=hi)
+        out.append(Roofline(f"{name}[n={n},k={k}]", t, flops=flops, bytes_accessed=bytes_))
+    return out
+
+
+def bench_segment(e=8192, n=1024, d=16, reps=(200, 1000)):
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(e, d).astype(np.float32))
+    ids = jnp.sort(jnp.asarray(rng.randint(0, n, size=(e,)).astype(np.int32)))
+    ids_shuf = jnp.asarray(
+        rng.permutation(np.asarray(ids)).astype(np.int32)
+    )
+    from egnn_tpu.ops.pallas.segment import segment_sum_pallas
+
+    lo, hi = reps
+    out = []
+    for name, f in (
+        ("segsum_pallas", lambda x: segment_sum_pallas(x, ids_shuf, n)),
+        ("segsum_xla_sorted", lambda x: jax.ops.segment_sum(x, ids, num_segments=n)),
+        ("segsum_xla_shuffled",
+         lambda x: jax.ops.segment_sum(x, ids_shuf, num_segments=n)),
+    ):
+        t = measure_op(f, data, reps_lo=lo, reps_hi=hi)
+        out.append(
+            Roofline(
+                f"{name}[E={e},N={n},D={d}]", t,
+                flops=e * d, bytes_accessed=(2 * e * d + n * d) * 4 + e * 4,
+            )
+        )
+    return out
+
+
+def bench_stream_layer(n=2048, d=64, reps=10):
+    from egnn_tpu import EGNN
+
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (1, n, d), jnp.float32)
+    coors = jax.random.normal(jax.random.PRNGKey(1), (1, n, 3), jnp.float32)
+    layer = EGNN(dim=d, norm_coors=True, stream_pairwise=True)
+    params = jax.jit(layer.init)(key, feats, coors)
+
+    hidden = 2 * (2 * d + 1)
+    m = 16
+    pair_flops = 2 * hidden * m + 2 * m * 4 * m + 2 * 4 * m  # edge MLP + coors MLP
+    flops_fwd = n * n * pair_flops
+
+    fwd = chain_calls(lambda f: jnp.stack(layer.apply(params, f, coors), -1).sum(-1), reps)
+
+    @jax.jit
+    def fwdbwd(f):
+        def L(p):
+            fo, co = layer.apply(p, f, coors)
+            return (fo**2).mean() + (co**2).mean()
+        l, g = jax.value_and_grad(L)(params)
+        return l
+
+    t_fwd = time_fn(fwd, lambda i: (feats * (1.0 + 1e-4 * (i + 2)),)) / reps
+    t_fb = time_fn(fwdbwd, lambda i: (feats * (1.0 + 1e-4 * (i + 2)),))
+    return [
+        Roofline(f"stream_layer_fwd[n={n},d={d}]", t_fwd, flops=flops_fwd),
+        Roofline(f"stream_layer_fwd+bwd[n={n},d={d}]", t_fb, flops=3 * flops_fwd),
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
+
+    results = []
+    reps = (100, 500) if args.quick else (200, 1000)
+    results += bench_knn(reps=reps)
+    results += bench_segment(reps=reps)
+    if not args.quick:
+        results += bench_stream_layer()
+    for r in results:
+        print(r.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -90,9 +90,10 @@ def radius_graph(
     flat_dist = jnp.where(ok, dist, big).reshape(-1)
     neg_vals, flat_idx = jax.lax.top_k(-flat_dist, max_edges)
     mask = (-neg_vals) < big
-    # Re-sort the selected edges receiver-major: TPU segment reductions are
-    # several times faster on destination-sorted edge lists (sorted scatter);
-    # all builders in this module emit that layout. Padding sorts last.
+    # Re-sort the selected edges receiver-major, matching the layout
+    # invariant of the other builders (contiguous per-receiver edge runs;
+    # deterministic order, friendlier to sorted-scatter backends and to
+    # future range-based aggregation kernels). Padding sorts last.
     sort_key = jnp.where(mask, flat_idx, n * n)
     order = jnp.argsort(sort_key)
     flat_idx = flat_idx[order]

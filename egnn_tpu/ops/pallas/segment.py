@@ -9,14 +9,17 @@ output block on the MXU: the one-hot tile is generated in-register (never
 touches HBM), the matmul is exactly the systolic array's shape, and grid
 steps accumulate sequentially into the same output block.
 
-MEASURED OUTCOME (v5e, 2026-08): this kernel LOSES to XLA's scatter on
-destination-sorted edge lists at every realistic size (0.15x at E=8192/
-N=1024/D=16 up to 0.95x at E=65536/N=1024/D=64), because generating the
-(TE, N) one-hot costs O(E*N) VPU work while sorted scatter is O(E*D). It is
-therefore NOT dispatched by ops/segment.py — the shipped fast path is edge
-layout co-design (receiver-major edges from every ops/graph.py builder) +
-XLA's native sorted scatter. Kept as a tested building block; it can win
-only when N is tiny and edges cannot be sorted.
+MEASURED (v5e, slope-based timing that cancels the ~30 ms/dispatch tunnel
+overhead — see utils/profiling.py:measure_op): 2.4x over XLA scatter at
+E=8192/N=1024/D=16 (26 vs 62 us), 2.0x at E=65536/N=1024/D=64 (228 vs
+457 us); loses (0.6x) at N=4096 because the in-register one-hot costs
+O(E*N) VPU work. ops/segment.py therefore dispatches here when
+num_segments <= 2048 (see supports_pallas_segment_sum).
+
+Accuracy: one-hot values are exact in bf16, so only the message operand
+would lose bits in a bf16 MXU pass; messages are split hi+lo into two bf16
+matmuls with f32 accumulation — max err ~1e-5 vs f64, at 2x bf16 cost
+(Precision.HIGHEST costs 3x+ and erased the win).
 
 Works for ANY destination order (the one-hot contraction is order-blind) —
 no sorting requirement, unlike range-based scatter kernels. Padding edges
@@ -49,7 +52,9 @@ def supports_pallas_segment_sum(
     return (
         backend not in ("cpu",)
         and out_bytes <= _VMEM_OUT_BUDGET
-        and num_segments <= 64 * 1024  # one-hot tile must keep te >= 128
+        # crossover vs XLA scatter: the one-hot tile costs O(E*N) VPU work,
+        # measured win for N <= ~2048 on v5e
+        and num_segments <= 2048
         and feat_dim >= 1
     )
 
@@ -63,14 +68,18 @@ def _seg_kernel(dst_ref, msg_ref, out_ref, *, n: int, te: int):
 
     dst = dst_ref[0, :].reshape(te, 1)                       # (TE, 1)
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
-    onehot = (dst == seg_ids).astype(jnp.float32)            # (TE, N) in-register
-    # contract over the edge axis: (TE, N)^T @ (TE, D) -> (N, D) on the MXU
-    out_ref[:, :] += jax.lax.dot_general(
-        onehot,
-        msg_ref[:, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # One-hot values (0/1) are EXACT in bf16, so only the message operand
+    # loses bits in a bf16 MXU pass. Split messages into hi+lo bf16 halves
+    # and run two bf16 matmuls with f32 accumulation: ~f32 accuracy at 2x
+    # bf16 cost (vs 3-6x for Precision.HIGH/HIGHEST on both operands).
+    onehot = (dst == seg_ids).astype(jnp.bfloat16)           # (TE, N) in-register
+    msg = msg_ref[:, :]
+    hi = msg.astype(jnp.bfloat16)
+    lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))  # contract over the edge axis -> (N, D)
+    acc = jax.lax.dot_general(onehot, hi, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(onehot, lo, dn, preferred_element_type=jnp.float32)
+    out_ref[:, :] += acc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -26,14 +26,16 @@ def segment_sum(
 ) -> jnp.ndarray:
     if mask is not None:
         data = jnp.where(mask[..., None], data, jnp.zeros((), data.dtype))
-    # NOTE on TPU scatter performance: the dominant factor is edge LAYOUT, not
-    # the kernel. Destination-sorted edge lists run ~3-10x faster through
-    # XLA's scatter than shuffled ones (measured on v5e: 8192x16 edges,
-    # 1024 segments: 337us sorted vs 3297us shuffled); every builder in
-    # ops/graph.py therefore emits receiver-major edges. A Pallas one-hot MXU
-    # accumulation kernel (ops/pallas/segment.py) was built and measured
-    # SLOWER than sorted XLA scatter at every realistic size (0.15x-0.95x),
-    # so it is not dispatched here.
+    # TPU dispatch: the Pallas one-hot MXU kernel (ops/pallas/segment.py)
+    # beats XLA's scatter ~2-2.4x when the segment count is moderate
+    # (<= 2048; the in-register one-hot costs O(E*N) VPU work, so huge N
+    # favors XLA scatter). Measured slope-based on v5e — see the kernel
+    # docstring for numbers and the accuracy scheme (hi+lo bf16 split).
+    if data.ndim == 2:
+        from .pallas.segment import segment_sum_pallas, supports_pallas_segment_sum
+
+        if supports_pallas_segment_sum(num_segments, data.shape[-1]):
+            return segment_sum_pallas(data, segment_ids, num_segments)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 

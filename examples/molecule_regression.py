@@ -1,0 +1,152 @@
+"""Molecular property regression on the sparse/COO path — the BASELINE.md
+anchor-config-5 workload: batched variable-size graphs (QM9-style molecules)
+packed into one static node set, kNN edge construction on device, an
+EGNNSparseNetwork trunk, and an invariant masked-mean readout.
+
+The dataset is synthetic (QM9 itself is external to both frameworks): random
+"molecules" of 8..28 atoms with per-type charges; the regression target is a
+Coulomb-like energy  E = sum_{i<j} q_i q_j / r_ij  — rotation/translation
+invariant, so an E(n)-invariant readout can fit it.
+
+Everything is static-shape: per-graph node capacity NA, kNN=K edges per node,
+boolean masks for padding — the TPU idiom for variable-size graphs
+(SURVEY.md §7 "hard parts" (1)).
+
+Run: python examples/molecule_regression.py --steps 200 [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--graphs", type=int, default=32, help="molecules per batch")
+    ap.add_argument("--na", type=int, default=32, help="per-molecule node capacity")
+    ap.add_argument("--knn", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from egnn_tpu import EGNNSparseNetwork
+    from egnn_tpu.models import init as inits
+    from egnn_tpu.ops.graph import knn_graph
+    from egnn_tpu.ops.segment import segment_mean
+    from egnn_tpu.training import TrainState
+
+    G, NA, K = args.graphs, args.na, args.knn
+    N = G * NA
+    NUM_TYPES = 5
+    CHARGES = jnp.asarray([-0.8, -0.3, 0.1, 0.5, 1.0])
+
+    def make_batch(key):
+        """Random molecules + Coulomb-like targets, packed (N,) layout."""
+        k_typ, k_len, k_pos = jax.random.split(key, 3)
+        types = jax.random.randint(k_typ, (G, NA), 0, NUM_TYPES)
+        lengths = jax.random.randint(k_len, (G, 1), 8, NA + 1)
+        node_mask = jnp.arange(NA)[None, :] < lengths          # (G, NA)
+        coors = 2.0 * jax.random.normal(k_pos, (G, NA, 3))
+
+        # target: sum_{i<j, valid} q_i q_j / r_ij
+        q = CHARGES[types]
+        pm = node_mask[:, :, None] & node_mask[:, None, :]
+        pm = pm & ~jnp.eye(NA, dtype=bool)[None]
+        rel = coors[:, :, None, :] - coors[:, None, :, :]
+        r = jnp.sqrt(jnp.clip(jnp.sum(rel**2, -1), min=1e-2))
+        e_pair = q[:, :, None] * q[:, None, :] / r
+        target = 0.5 * jnp.where(pm, e_pair, 0.0).sum(axis=(1, 2))  # (G,)
+
+        # per-molecule kNN edges, then offset into the packed node set
+        es = jax.vmap(lambda co, m: knn_graph(co, K, node_mask=m))(coors, node_mask)
+        off = (jnp.arange(G, dtype=jnp.int32) * NA)[:, None]
+        senders = (es.senders + off).reshape(-1)
+        receivers = (es.receivers + off).reshape(-1)
+        edge_mask = es.mask.reshape(-1)
+        edge_index = jnp.stack([senders, receivers], axis=0)    # (2, G*NA*K)
+
+        batch_ids = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
+        x = jnp.concatenate(
+            [coors.reshape(N, 3), types.reshape(N, 1).astype(coors.dtype)], axis=-1
+        )
+        return x, edge_index, edge_mask, batch_ids, node_mask.reshape(N), target
+
+    class Regressor(nn.Module):
+        """EGNNSparseNetwork trunk + invariant masked-mean readout."""
+
+        @nn.compact
+        def __call__(self, x, edge_index, edge_mask, batch_ids, node_mask):
+            trunk = EGNNSparseNetwork(
+                n_layers=args.layers,
+                feats_dim=1,                      # the raw type column
+                embedding_nums=[NUM_TYPES],       # -> embedded to args.dim
+                embedding_dims=[args.dim],
+                fourier_features=4,
+                norm_feats=True,
+                norm_coors=True,
+                aggr="add",
+            )
+            out = trunk(
+                x, edge_index,
+                batch=batch_ids,
+                edge_mask=edge_mask & node_mask[edge_index[1]],
+                num_graphs=G,
+            )
+            feats = out[:, 3:]
+            feats = jnp.where(node_mask[:, None], feats, 0.0)
+            pooled = segment_mean(feats, batch_ids, G, mask=node_mask)  # (G, dim)
+            w1 = self.param("head_w1", inits.xavier_normal_init, (feats.shape[-1], args.dim))
+            b1 = self.param("head_b1", inits.zeros_init, (args.dim,))
+            w2 = self.param("head_w2", inits.xavier_normal_init, (args.dim, 1))
+            b2 = self.param("head_b2", inits.zeros_init, (1,))
+            h = jax.nn.silu(pooled @ w1 + b1)
+            return (h @ w2 + b2)[:, 0]
+
+    model = Regressor()
+    key = jax.random.PRNGKey(0)
+    sample = make_batch(key)
+    params = jax.jit(model.init)(key, *sample[:5])["params"]
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params:,}")
+
+    state = TrainState.create(params, optax.adam(args.lr))
+
+    @jax.jit
+    def train_step(state, key):
+        x, ei, em, bi, nm, target = make_batch(key)
+
+        def loss_of(p):
+            pred = model.apply({"params": p}, x, ei, em, bi, nm)
+            return ((pred - target) ** 2).mean(), jnp.abs(pred - target).mean()
+
+        (loss, mae), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss, mae
+
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, loss, mae = train_step(state, sub)
+        if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  mse {float(loss):9.4f}  mae {float(mae):8.4f}")
+    dt = time.perf_counter() - t0
+    eps = args.steps * G * NA * K * args.layers / dt
+    print(f"{args.steps} steps in {dt:.1f}s  ({eps/1e6:.2f} M edges/s incl. graph build)")
+
+
+if __name__ == "__main__":
+    main()
