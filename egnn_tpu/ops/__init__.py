@@ -15,6 +15,16 @@ from .neighbors import (
     pairwise_geometry,
     select_neighborhood,
 )
+from .graph import (
+    EdgeSet,
+    backbone_covalent_bonds,
+    chain_adjacency,
+    edges_from_dense_adj,
+    knn_graph,
+    radius_graph,
+)
+from .neighbors import knn_select
+from .pairwise_stream import PairwiseParams, pairwise_block, streamed_pairwise
 from .segment import (
     graph_layer_norm,
     segment_aggregate,
@@ -38,6 +48,16 @@ __all__ = [
     "max_degree",
     "pairwise_geometry",
     "select_neighborhood",
+    "knn_select",
+    "EdgeSet",
+    "backbone_covalent_bonds",
+    "chain_adjacency",
+    "edges_from_dense_adj",
+    "knn_graph",
+    "radius_graph",
+    "PairwiseParams",
+    "pairwise_block",
+    "streamed_pairwise",
     "graph_layer_norm",
     "segment_aggregate",
     "segment_max",

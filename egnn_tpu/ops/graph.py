@@ -105,6 +105,34 @@ def radius_graph(
     return EdgeSet(senders=senders, receivers=receivers, mask=mask)
 
 
+def backbone_covalent_bonds(num_residues: int, atoms_per_residue: int = 3) -> EdgeSet:
+    """Covalent-bond edge set for a protein backbone of ``num_residues``
+    residues with ``atoms_per_residue`` backbone atoms (N, CA, C by default).
+
+    Capability parity with the reference notebook's ``prot_covalent_bond``
+    helper (examples/egnn_test.ipynb addendum cells): intra-residue bonds
+    N-CA, CA-C (a chain within each residue) plus the inter-residue peptide
+    bond C(i) - N(i+1); emitted bidirectionally, receiver-major, static shape
+    E = 2 * (num_residues*(atoms_per_residue-1) + num_residues - 1).
+    """
+    a = atoms_per_residue
+    intra_src, intra_dst = [], []
+    for r in range(num_residues):
+        base = r * a
+        for j in range(a - 1):
+            intra_src.append(base + j)
+            intra_dst.append(base + j + 1)
+    for r in range(num_residues - 1):
+        intra_src.append(r * a + (a - 1))  # C of residue r
+        intra_dst.append((r + 1) * a)      # N of residue r+1
+    src = jnp.asarray(intra_src + intra_dst, dtype=jnp.int32)
+    dst = jnp.asarray(intra_dst + intra_src, dtype=jnp.int32)
+    order = jnp.argsort(dst, stable=True)
+    src, dst = src[order], dst[order]
+    mask = jnp.ones(src.shape, dtype=bool)
+    return EdgeSet(senders=src, receivers=dst, mask=mask)
+
+
 def chain_adjacency(n: int, dtype=bool) -> jnp.ndarray:
     """Chain graph i ~ i±1 — the adjacency used by the reference's training
     example (denoise_sparse.py:64-66) and README's only_sparse example."""

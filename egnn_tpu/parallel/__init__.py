@@ -1,3 +1,21 @@
+from .distributed import (
+    MetricLogger,
+    initialize,
+    is_coordinator,
+    log0,
+    sync_global_devices,
+)
 from .mesh import dense_batch_sharding, make_mesh, sparse_node_sharding
+from .ring import ring_pairwise
 
-__all__ = ["dense_batch_sharding", "make_mesh", "sparse_node_sharding"]
+__all__ = [
+    "MetricLogger",
+    "initialize",
+    "is_coordinator",
+    "log0",
+    "sync_global_devices",
+    "dense_batch_sharding",
+    "make_mesh",
+    "sparse_node_sharding",
+    "ring_pairwise",
+]

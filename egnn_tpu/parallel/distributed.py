@@ -1,0 +1,107 @@
+"""Multi-host runtime: process-group init, host-0 logging, metrics.
+
+The reference is strictly single-process (SURVEY.md §5.8: no
+torch.distributed import anywhere). On TPU pods the communication backend is
+the JAX runtime itself; this module wraps the lifecycle pieces around it:
+
+- ``initialize()``            — ``jax.distributed.initialize`` with env
+                                auto-detection, idempotent, safe single-host.
+- ``is_coordinator()``        — process_index == 0.
+- ``log0()``                  — print only on the coordinator (under pjit all
+                                hosts run the same program; logs would repeat).
+- ``MetricLogger``            — structured JSONL metrics (loss, edges/s,
+                                step time), coordinator-only, flush-on-write
+                                so a killed run keeps its history (the
+                                failure-recovery story is checkpoint+resume,
+                                training/checkpoint.py).
+- ``sync_global_devices()``   — cross-host barrier for checkpoint fences.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Mapping, Optional
+
+import jax
+
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the multi-host process group (idempotent).
+
+    On TPU pods with standard env (TPU_WORKER_HOSTNAMES etc.), bare
+    ``initialize()`` auto-detects everything; on single-host it's a no-op.
+    Call before any jax computation.
+    """
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator configured) — fine
+        pass
+    _initialized = True
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def log0(*args, **kwargs) -> None:
+    """print() on the coordinator host only."""
+    if is_coordinator():
+        print(*args, **kwargs)
+
+
+def sync_global_devices(tag: str = "barrier") -> None:
+    """Cross-host barrier (e.g. before/after checkpoint writes)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+class MetricLogger:
+    """Append-only JSONL metrics, coordinator-only, flushed per write.
+
+    Records wall time and step so post-hoc edges/s / scaling-efficiency
+    curves can be derived; pair with utils/profiling.py for device-side
+    rooflines.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self._path = path
+        self._f = None
+        self._t0 = time.time()
+        if path is not None and is_coordinator():
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._f = open(path, "a", buffering=1)
+
+    def log(self, step: int, **metrics: Any) -> Mapping[str, Any]:
+        rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        if self._f is not None:
+            self._f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None

@@ -1,3 +1,26 @@
+from .checks import (
+    assert_in_bounds,
+    checked,
+    finite_or_skip_step,
+    guard_finite,
+    tree_all_finite,
+)
+from .profiling import Roofline, annotate, chain_calls, measure_op, time_fn, trace
 from .rotations import rot, rot_y, rot_z
 
-__all__ = ["rot", "rot_y", "rot_z"]
+__all__ = [
+    "rot",
+    "rot_y",
+    "rot_z",
+    "Roofline",
+    "annotate",
+    "chain_calls",
+    "measure_op",
+    "time_fn",
+    "trace",
+    "assert_in_bounds",
+    "checked",
+    "finite_or_skip_step",
+    "guard_finite",
+    "tree_all_finite",
+]
