@@ -84,6 +84,10 @@ class EGNN(nn.Module):
     # replicated; each device computes its i-shard while j-shards rotate
     # around the ICI ring via ppermute.
     ring_axis: Optional[str] = None
+    # fused_knn: opt-in Pallas fused pair pipeline for the kNN path
+    # (ops/pallas/knn_layer.py). Off by default: XLA's gather pipeline
+    # measured faster at typical sizes; see the kernel's docstring.
+    fused_knn: bool = False
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
@@ -227,6 +231,73 @@ class EGNN(nn.Module):
             nbhd = nb.knn_select(
                 coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b
             )
+
+            # ---- fully fused pair pipeline (ops/pallas/knn_layer.py) ----
+            from ..ops.pallas.knn_layer import (
+                fused_knn_messages,
+                supports_fused_knn_layer,
+            )
+
+            # Opt-in only: measured on v5e, XLA's native gather + fused
+            # elementwise pipeline on the (b, n, k, ·) tensors is FASTER than
+            # this kernel (26 vs 60+ us fwd at n=1024, k=8, dim=32) — see the
+            # measured-outcome note in ops/pallas/knn_layer.py.
+            use_fused = (
+                self.fused_knn
+                and edges is None
+                and self.update_coors
+                and self.update_feats
+                and (self.dropout == 0.0 or deterministic)
+                and supports_fused_knn_layer(n, num_nearest, hidden)
+            )
+            if use_fused:
+                if mask is not None:
+                    mask_j = batched_index_select(mask, nbhd.indices, axis=1)
+                    pv = (mask[:, :, None] & mask_j) & nbhd.valid
+                else:
+                    # reference quirk: validity filtering only under a mask
+                    pv = jnp.ones(nbhd.indices.shape, bool)
+                m_dim = self.m_dim
+                m_sum, coors_delta = fused_knn_messages(
+                    coors,
+                    feats @ w_i + edge_b1,
+                    feats @ w_j,
+                    nbhd.indices,
+                    pv.astype(jnp.int32),
+                    fourier,
+                    self.soft_edges,
+                    self.norm_coors,
+                    self.coor_weights_clamp_value,
+                    1e-8,
+                    False,
+                    w_d,
+                    edge_w2,
+                    edge_b2,
+                    gate_w if self.soft_edges else jnp.zeros((m_dim, 1), coors.dtype),
+                    gate_b if self.soft_edges else jnp.zeros((1,), coors.dtype),
+                    coors_w1,
+                    coors_b1,
+                    coors_w2,
+                    coors_b2,
+                    cn_scale if self.norm_coors else jnp.ones((1,), coors.dtype),
+                )
+                coors_out = coors + coors_delta
+                if self.m_pool_method == "mean":
+                    if mask is not None:
+                        cnt = pv.sum(axis=-1).astype(m_sum.dtype)[..., None]
+                        m_i = safe_div(m_sum, cnt)
+                    else:
+                        m_i = m_sum / num_nearest
+                else:
+                    m_i = m_sum
+                normed = (
+                    layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
+                )
+                hmlp = jnp.concatenate([normed, m_i], axis=-1)
+                hmlp = _silu(drop(hmlp @ node_w1 + node_b1, deterministic=deterministic))
+                node_out = hmlp @ node_w2 + node_b2 + feats
+                return node_out, coors_out
+
             coors_j = batched_index_select(coors, nbhd.indices, axis=1)  # (b,n,k,c)
             rel_coors = coors[:, :, None, :] - coors_j
             rel_dist = jnp.sum(rel_coors**2, axis=-1)
