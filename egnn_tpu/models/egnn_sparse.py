@@ -68,6 +68,14 @@ class EGNNSparse(nn.Module):
     dropout: float = 0.0
     coor_weights_clamp_value: Optional[float] = None
     aggr: str = "add"
+    # TPU-native extra (absent in the reference): mesh axis name for the
+    # edge-partitioned multi-device layout (parallel/sparse_partition.py).
+    # When set, this layer must run inside shard_map with nodes sharded on
+    # that axis: ``x`` is the local node shard, ``edge_index[1]`` holds
+    # LOCAL receiver ids (this shard owns its receivers), ``edge_index[0]``
+    # holds GLOBAL sender ids resolved against an all-gather of the node
+    # tensor over ICI; graph-LayerNorm statistics are psum'd to global.
+    shard_axis: Optional[str] = None
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.xavier_normal_init, (d_in, d_out))
@@ -119,8 +127,16 @@ class EGNNSparse(nn.Module):
             coors_w2, coors_b2 = self._linear("coors_mlp_1", self.m_dim * 4, 1)
         drop = nn.Dropout(rate=self.dropout)
 
-        # per-edge geometry (reference sign convention: coors[j] - coors[i])
-        rel_coors = coors[j_idx] - coors[i_idx]
+        # per-edge geometry (reference sign convention: coors[j] - coors[i]).
+        # Edge-partitioned mode: senders are global ids into the all-gathered
+        # node set (the halo exchange — one all-gather over ICI per layer).
+        if self.shard_axis is not None:
+            x_full = jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
+            coors_full = x_full[:, : self.pos_dim]
+            feats_full = x_full[:, self.pos_dim :]
+        else:
+            coors_full, feats_full = coors, feats
+        rel_coors = coors_full[j_idx] - coors[i_idx]
         rel_dist = jnp.sum(rel_coors**2, axis=-1, keepdims=True)
 
         if self.fourier_features > 0:
@@ -139,7 +155,7 @@ class EGNNSparse(nn.Module):
         w_d = edge_w1[2 * d + self.edge_attr_dim :]
 
         proj_i = feats @ w_i
-        proj_j = feats @ w_j
+        proj_j = feats_full @ w_j
         h1 = proj_i[i_idx] + proj_j[j_idx] + dist_feats @ w_d + edge_b1
         if self.edge_attr_dim > 0:
             assert edge_attr is not None, (
@@ -173,7 +189,8 @@ class EGNNSparse(nn.Module):
             m_i = segment_aggregate(self.aggr, m_ij, i_idx, n, mask=edge_mask)
             if self.norm_feats:
                 hidden_feats = graph_layer_norm(
-                    feats, batch, num_graphs, nn_gamma, nn_beta
+                    feats, batch, num_graphs, nn_gamma, nn_beta,
+                    axis_name=self.shard_axis,
                 )
             else:
                 hidden_feats = feats

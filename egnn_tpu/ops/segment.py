@@ -122,22 +122,29 @@ def graph_layer_norm(
     beta: Optional[jnp.ndarray],
     eps: float = 1e-5,
     node_mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """PyG-style graph-mode LayerNorm (torch_geometric.nn.norm.LayerNorm,
     mode='graph', used at egnn_pytorch_geometric.py:156): statistics over all
-    node x channel entries of each graph, biased variance."""
+    node x channel entries of each graph, biased variance.
+
+    ``axis_name``: when the packed node set is sharded over a mesh axis
+    (edge-partitioned sparse path, parallel/sparse_partition.py), per-graph
+    statistics are psum'd over that axis so every shard normalizes with the
+    GLOBAL per-graph mean/variance."""
     n, d = x.shape
     if batch is None:
         batch = jnp.zeros((n,), dtype=jnp.int32)
         num_graphs = 1
-    count = segment_count(batch, num_graphs, node_mask, dtype=x.dtype) * d
+    psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
+    count = psum(segment_count(batch, num_graphs, node_mask, dtype=x.dtype)) * d
     count = jnp.clip(count, min=1.0)
-    total = segment_sum(x, batch, num_graphs, node_mask).sum(axis=-1)
+    total = psum(segment_sum(x, batch, num_graphs, node_mask).sum(axis=-1))
     mean = (total / count)[batch][:, None]
     centered = x - mean
     if node_mask is not None:
         centered = jnp.where(node_mask[:, None], centered, jnp.zeros((), x.dtype))
-    sq = segment_sum(centered**2, batch, num_graphs, node_mask).sum(axis=-1)
+    sq = psum(segment_sum(centered**2, batch, num_graphs, node_mask).sum(axis=-1))
     var = (sq / count)[batch][:, None]
     out = (x - mean) * jax.lax.rsqrt(var + eps)
     if gamma is not None:

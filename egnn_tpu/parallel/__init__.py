@@ -7,6 +7,7 @@ from .distributed import (
 )
 from .mesh import dense_batch_sharding, make_mesh, sparse_node_sharding
 from .ring import ring_pairwise
+from .sparse_partition import PartitionedEdges, partition_edges
 
 __all__ = [
     "MetricLogger",
@@ -18,4 +19,6 @@ __all__ = [
     "make_mesh",
     "sparse_node_sharding",
     "ring_pairwise",
+    "PartitionedEdges",
+    "partition_edges",
 ]

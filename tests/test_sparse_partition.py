@@ -1,0 +1,98 @@
+"""Edge-partitioned sparse path vs the unsharded layer (8-virtual-device CPU
+mesh): the shard_map apply with receiver-owned edges, global-sender
+all-gather, and psum'd graph-LayerNorm stats must reproduce the single-device
+EGNNSparse output exactly (up to summation order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from egnn_tpu import EGNNSparse
+from egnn_tpu.ops.graph import knn_graph
+from egnn_tpu.parallel import make_mesh
+from egnn_tpu.parallel.sparse_partition import partition_edges
+
+
+def _graph_case(seed, n=64, d=6, k=4, num_graphs=2):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    coors = jax.random.normal(ks[0], (n, 3))
+    feats = jax.random.normal(ks[1], (n, d))
+    x = jnp.concatenate([coors, feats], axis=-1)
+    batch = jnp.repeat(jnp.arange(num_graphs, dtype=jnp.int32), n // num_graphs)
+    # kNN within each graph via masking is overkill here; use global kNN and
+    # just verify numerics parity (the layer doesn't care about graph
+    # boundaries except in LayerNorm).
+    es = knn_graph(coors, k)
+    edge_attr = jax.random.normal(ks[2], (es.senders.shape[0], 2))
+    return x, batch, es, edge_attr
+
+
+@pytest.mark.parametrize("norm_feats", [False, True])
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_partitioned_matches_unsharded(norm_feats, aggr):
+    shards, num_graphs = 8, 2
+    n, d = 64, 6
+    x, batch, es, edge_attr = _graph_case(0, n=n, d=d, num_graphs=num_graphs)
+
+    layer = EGNNSparse(feats_dim=d, edge_attr_dim=2, fourier_features=2,
+                       norm_feats=norm_feats, norm_coors=True, aggr=aggr)
+    params = layer.init(
+        jax.random.PRNGKey(1), x, es.edge_index, edge_attr=edge_attr,
+        batch=batch, edge_mask=es.mask, num_graphs=num_graphs,
+    )
+    ref_fn = jax.jit(
+        lambda p, xx, ei, ea, bi, m: layer.apply(
+            p, xx, ei, edge_attr=ea, batch=bi, edge_mask=m,
+            num_graphs=num_graphs,
+        )
+    )
+    ref = ref_fn(params, x, es.edge_index, edge_attr, batch, es.mask)
+
+    pe = partition_edges(
+        es.senders, es.receivers, n, shards, edge_attr=edge_attr,
+        edge_mask=es.mask,
+    )
+    sharded_layer = EGNNSparse(feats_dim=d, edge_attr_dim=2,
+                               fourier_features=2, norm_feats=norm_feats,
+                               norm_coors=True, aggr=aggr,
+                               shard_axis="graph")
+    mesh = make_mesh(data=1, graph=shards)
+
+    def apply_shard(p, x, snd, rcv, msk, ea, batch_ids):
+        ei = jnp.stack([snd, rcv], axis=0)
+        return sharded_layer.apply(
+            p, x, ei, edge_attr=ea, batch=batch_ids, edge_mask=msk,
+            num_graphs=num_graphs,
+        )
+
+    apply_shard = jax.shard_map(
+        apply_shard, mesh=mesh,
+        in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                  P("graph"), P("graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    out = jax.jit(apply_shard)(
+        params, x, pe.senders, pe.receivers, pe.mask, pe.edge_attr, batch
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_partition_edges_layout():
+    n, shards = 32, 4
+    es = knn_graph(jax.random.normal(jax.random.PRNGKey(0), (n, 3)), 3)
+    pe = partition_edges(es.senders, es.receivers, n, shards)
+    nl = n // shards
+    cap = pe.capacity
+    snd = np.asarray(pe.senders).reshape(shards, cap)
+    rcv = np.asarray(pe.receivers).reshape(shards, cap)
+    msk = np.asarray(pe.mask).reshape(shards, cap)
+    total = 0
+    for s_ in range(shards):
+        r = rcv[s_][msk[s_]]
+        assert (r >= 0).all() and (r < nl).all()
+        assert (np.diff(r) >= 0).all()  # stable pack keeps receiver-major
+        total += msk[s_].sum()
+    assert total == int(np.asarray(es.mask).sum())
