@@ -314,11 +314,16 @@ class EGNN(nn.Module):
 
         # ---- factorized edge MLP layer 1 ----
         proj_i = feats @ w_i  # (b, n, hidden)
-        proj_j_full = feats @ w_j  # (b, n, hidden)
         if use_nearest:
-            proj_j = batched_index_select(proj_j_full, nbhd.indices, axis=1)  # (b,n,k,h)
+            # Gather the dim-wide features and project per-pair instead of
+            # gathering the hidden-wide projection: identical math, but the
+            # gather (and its scatter-add transpose in the backward) moves
+            # hidden/dim (~4x) less data; the extra (b,n,k,dim)@(dim,hidden)
+            # matmul is nearly free on the MXU.
+            feats_j = batched_index_select(feats, nbhd.indices, axis=1)  # (b,n,k,d)
+            proj_j = feats_j @ w_j
         else:
-            proj_j = proj_j_full[:, None, :, :]  # (b,1,n,h)
+            proj_j = (feats @ w_j)[:, None, :, :]  # (b,1,n,h)
 
         h1 = proj_i[:, :, None, :] + proj_j + dist_feats @ w_d + edge_b1
         if edges is not None:
