@@ -362,6 +362,10 @@ class EGNNSparseNetwork(nn.Module):
     global_linear_attn_dim_head: int = 64
     num_global_tokens: int = 4
     recalc: int = 0
+    # Edge-partitioned multi-device layout (see EGNNSparse.shard_axis and
+    # parallel/sparse_partition.py). Incompatible with global attention
+    # (whose cross-graph softmax would need additional collectives).
+    shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -393,6 +397,9 @@ class EGNNSparseNetwork(nn.Module):
         ]
 
         has_global_attn = self.global_linear_attn_every > 0
+        assert not (has_global_attn and self.shard_axis is not None), (
+            "shard_axis is incompatible with global_linear_attn_every > 0"
+        )
         if has_global_attn:
             tokens = self.param(
                 "global_tokens", inits.unit_normal_init,
@@ -443,6 +450,7 @@ class EGNNSparseNetwork(nn.Module):
                 dropout=self.dropout,
                 coor_weights_clamp_value=self.coor_weights_clamp_value,
                 aggr=self.aggr,
+                shard_axis=self.shard_axis,
                 name=f"mpnn_{i}",
             )(
                 x,

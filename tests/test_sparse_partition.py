@@ -96,3 +96,39 @@ def test_partition_edges_layout():
         assert (np.diff(r) >= 0).all()  # stable pack keeps receiver-major
         total += msk[s_].sum()
     assert total == int(np.asarray(es.mask).sum())
+
+
+def test_partitioned_network_matches_unsharded():
+    shards, num_graphs, n, d = 8, 2, 64, 6
+    x, batch, es, edge_attr = _graph_case(3, n=n, d=d, num_graphs=num_graphs)
+    common = dict(n_layers=3, feats_dim=d, edge_attr_dim=2,
+                  fourier_features=2, norm_feats=True, norm_coors=True)
+    from egnn_tpu import EGNNSparseNetwork
+
+    net = EGNNSparseNetwork(**common)
+    params = net.init(jax.random.PRNGKey(1), x, es.edge_index,
+                      edge_attr=edge_attr, batch=batch, edge_mask=es.mask,
+                      num_graphs=num_graphs)
+    ref = jax.jit(lambda p, xx: net.apply(
+        p, xx, es.edge_index, edge_attr=edge_attr, batch=batch,
+        edge_mask=es.mask, num_graphs=num_graphs))(params, x)
+
+    pe = partition_edges(es.senders, es.receivers, n, shards,
+                         edge_attr=edge_attr, edge_mask=es.mask)
+    net_s = EGNNSparseNetwork(**common, shard_axis="graph")
+    mesh = make_mesh(data=1, graph=shards)
+
+    def ap(p, xx, snd, rcv, msk, ea, bi):
+        return net_s.apply(p, xx, jnp.stack([snd, rcv]), edge_attr=ea,
+                           batch=bi, edge_mask=msk, num_graphs=num_graphs)
+
+    ap = jax.shard_map(
+        ap, mesh=mesh,
+        in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                  P("graph"), P("graph")),
+        out_specs=P("graph"), check_vma=False,
+    )
+    out = jax.jit(ap)(params, x, pe.senders, pe.receivers, pe.mask,
+                      pe.edge_attr, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-9, atol=1e-9)
