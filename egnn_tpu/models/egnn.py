@@ -35,6 +35,8 @@ from ..ops.core import (
     batched_index_select,
     coors_norm,
     fourier_encode_dist,
+    gather_bool,
+    gather_nodes,
     layer_norm,
     safe_div,
 )
@@ -252,7 +254,7 @@ class EGNN(nn.Module):
             )
             if use_fused:
                 if mask is not None:
-                    mask_j = batched_index_select(mask, nbhd.indices, axis=1)
+                    mask_j = gather_bool(mask, nbhd.indices)
                     pv = (mask[:, :, None] & mask_j) & nbhd.valid
                 else:
                     # reference quirk: validity filtering only under a mask
@@ -298,7 +300,20 @@ class EGNN(nn.Module):
                 node_out = hmlp @ node_w2 + node_b2 + feats
                 return node_out, coors_out
 
-            coors_j = batched_index_select(coors, nbhd.indices, axis=1)  # (b,n,k,c)
+            # one gather for coordinates AND mask (narrow gathers are
+            # latency-bound on TPU: a separate 1-wide mask gather costs as
+            # much as the whole (c+1)-wide one)
+            c_sp = coors.shape[-1]
+            mask_j = None
+            if mask is not None:
+                cm = jnp.concatenate(
+                    [coors, mask[..., None].astype(coors.dtype)], axis=-1
+                )
+                g = gather_nodes(cm, nbhd.indices)     # (b,n,k,c+1)
+                coors_j = g[..., :c_sp]
+                mask_j = g[..., c_sp] > 0.5
+            else:
+                coors_j = gather_nodes(coors, nbhd.indices)  # (b,n,k,c)
             rel_coors = coors[:, :, None, :] - coors_j
             rel_dist = jnp.sum(rel_coors**2, axis=-1)
             if edges is not None:
@@ -320,7 +335,7 @@ class EGNN(nn.Module):
             # gather (and its scatter-add transpose in the backward) moves
             # hidden/dim (~4x) less data; the extra (b,n,k,dim)@(dim,hidden)
             # matmul is nearly free on the MXU.
-            feats_j = batched_index_select(feats, nbhd.indices, axis=1)  # (b,n,k,d)
+            feats_j = gather_nodes(feats, nbhd.indices)  # (b,n,k,d)
             proj_j = feats_j @ w_j
         else:
             proj_j = (feats @ w_j)[:, None, :, :]  # (b,1,n,h)
@@ -339,7 +354,7 @@ class EGNN(nn.Module):
         pair_mask = None
         if mask is not None:
             if use_nearest:
-                mask_j = batched_index_select(mask, nbhd.indices, axis=1)  # (b,n,k)
+                # mask_j came along with the coordinate gather above
                 pair_mask = (mask[:, :, None] & mask_j) & nbhd.valid
             else:
                 pair_mask = mask[:, :, None] & mask[:, None, :]

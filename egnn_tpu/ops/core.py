@@ -66,6 +66,44 @@ def batched_index_select(values: jnp.ndarray, indices: jnp.ndarray, axis: int = 
     return jnp.take_along_axis(v, idx, axis=axis + n_extra - 1)
 
 
+def gather_bool(mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Boolean gather via a float gather + compare.
+
+    TPU profile fact: gathering pred (1-byte) tensors lowers to a ~66 us
+    "custom fusion" at (1024 -> 8192) sizes, while the same gather in f32 is
+    ~13 us. Equivalent semantics (mask values are exactly 0/1)."""
+    g = batched_index_select(mask.astype(jnp.float32), indices, axis=1)
+    return g > 0.5
+
+
+@jax.custom_vjp
+def gather_nodes(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Neighbor gather (b, n, d) x (b, n, k) -> (b, n, k, d) whose BACKWARD
+    routes through ops/segment.py's dispatching segment-sum instead of XLA's
+    scatter-add (the scatter transpose measured ~56 us per 8192x32 on v5e;
+    the one-hot MXU kernel halves it). Forward is a plain fast gather."""
+    return batched_index_select(values, indices, axis=1)
+
+
+def _gather_nodes_fwd(values, indices):
+    return gather_nodes(values, indices), (indices, values.shape)
+
+
+def _gather_nodes_bwd(res, g):
+    from .segment import segment_sum
+
+    indices, vshape = res
+    b, n, d = vshape
+    k = indices.shape[-1]
+    offs = (jnp.arange(b, dtype=indices.dtype) * n)[:, None, None]
+    ids = (indices + offs).reshape(-1)
+    dv = segment_sum(g.reshape(-1, d), ids, b * n).reshape(b, n, d)
+    return dv.astype(g.dtype), None
+
+
+gather_nodes.defvjp(_gather_nodes_fwd, _gather_nodes_bwd)
+
+
 def coors_norm(
     coors: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-8
 ) -> jnp.ndarray:
