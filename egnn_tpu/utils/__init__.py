@@ -6,10 +6,18 @@ from .checks import (
     tree_all_finite,
 )
 from .profiling import Roofline, annotate, chain_calls, measure_op, time_fn, trace
+from .port_weights import (
+    egnn_network_params_from_torch,
+    egnn_params_from_torch,
+    egnn_sparse_params_from_torch,
+)
 from .rotations import rot, rot_y, rot_z
 
 __all__ = [
     "rot",
+    "egnn_params_from_torch",
+    "egnn_network_params_from_torch",
+    "egnn_sparse_params_from_torch",
     "rot_y",
     "rot_z",
     "Roofline",

@@ -35,37 +35,13 @@ pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference not importable")
 torch.set_default_dtype(torch.float64)
 
 
-def t2j(t):
-    return jnp.asarray(t.detach().numpy())
+# the public migration utility IS the injection mechanism under test
+from egnn_tpu.utils.port_weights import (
+    egnn_network_params_from_torch,
+    egnn_params_from_torch,
+)
 
-
-def _copy_sequential_mlp(params, prefix, torch_seq, linear_positions):
-    """Copy torch nn.Sequential Linear weights (transposed) into our flat params."""
-    for our_idx, pos in enumerate(linear_positions):
-        lin = torch_seq[pos]
-        params[f"{prefix}_{our_idx}_w"] = t2j(lin.weight).T
-        params[f"{prefix}_{our_idx}_b"] = t2j(lin.bias)
-
-
-def inject_egnn_params(torch_layer) -> dict:
-    """Map a reference EGNN module's weights onto our parameter dict."""
-    p = {}
-    _copy_sequential_mlp(p, "edge_mlp", torch_layer.edge_mlp, (0, 3))
-    if torch_layer.coors_mlp is not None:
-        _copy_sequential_mlp(p, "coors_mlp", torch_layer.coors_mlp, (0, 3))
-    if torch_layer.node_mlp is not None:
-        _copy_sequential_mlp(p, "node_mlp", torch_layer.node_mlp, (0, 3))
-    if torch_layer.edge_gate is not None:
-        p["edge_gate_w"] = t2j(torch_layer.edge_gate[0].weight).T
-        p["edge_gate_b"] = t2j(torch_layer.edge_gate[0].bias)
-    node_norm = torch_layer.node_norm
-    if isinstance(node_norm, torch.nn.LayerNorm):
-        p["node_norm_gamma"] = t2j(node_norm.weight)
-        p["node_norm_beta"] = t2j(node_norm.bias)
-    coors_norm = torch_layer.coors_norm
-    if hasattr(coors_norm, "scale"):
-        p["coors_norm_scale"] = t2j(coors_norm.scale)
-    return p
+inject_egnn_params = egnn_params_from_torch
 
 
 def _compare_layer(torch_layer, jax_layer, feats, coors, edges=None, mask=None,
@@ -159,41 +135,7 @@ def test_parity_mean_pool_no_mask():
 
 
 def inject_network_params(torch_net, depth) -> dict:
-    p = {}
-    if torch_net.token_emb is not None:
-        p["token_emb"] = t2j(torch_net.token_emb.weight)
-    if torch_net.pos_emb is not None:
-        p["pos_emb"] = t2j(torch_net.pos_emb.weight)
-    if torch_net.edge_emb is not None:
-        p["edge_emb"] = t2j(torch_net.edge_emb.weight)
-    if torch_net.adj_emb is not None:
-        p["adj_emb"] = t2j(torch_net.adj_emb.weight)
-    if torch_net.global_tokens is not None:
-        p["global_tokens"] = t2j(torch_net.global_tokens)
-    for ind, (gattn, egnn) in enumerate(torch_net.layers):
-        p[f"egnn_{ind}"] = inject_egnn_params(egnn)
-        if gattn is not None:
-            ga = {}
-            ga["norm_seq_gamma"] = t2j(gattn.norm_seq.weight)
-            ga["norm_seq_beta"] = t2j(gattn.norm_seq.bias)
-            ga["norm_queries_gamma"] = t2j(gattn.norm_queries.weight)
-            ga["norm_queries_beta"] = t2j(gattn.norm_queries.bias)
-            for name, attn in (("attn1", gattn.attn1), ("attn2", gattn.attn2)):
-                ga[name] = {
-                    "to_q_w": t2j(attn.to_q.weight).T,
-                    "to_kv_w": t2j(attn.to_kv.weight).T,
-                    "to_out_w": t2j(attn.to_out.weight).T,
-                    "to_out_b": t2j(attn.to_out.bias),
-                }
-            # torch ff: [LayerNorm, Linear, GELU, Linear]
-            ga["ff_norm_gamma"] = t2j(gattn.ff[0].weight)
-            ga["ff_norm_beta"] = t2j(gattn.ff[0].bias)
-            ga["ff_w1"] = t2j(gattn.ff[1].weight).T
-            ga["ff_b1"] = t2j(gattn.ff[1].bias)
-            ga["ff_w2"] = t2j(gattn.ff[3].weight).T
-            ga["ff_b2"] = t2j(gattn.ff[3].bias)
-            p[f"global_attn_{ind}"] = ga
-    return p
+    return egnn_network_params_from_torch(torch_net)
 
 
 def test_parity_network_full():
