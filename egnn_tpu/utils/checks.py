@@ -73,7 +73,11 @@ def tree_all_finite(tree: Any) -> jnp.ndarray:
 def finite_or_skip_step(step_fn: Callable) -> Callable:
     """Wrap a ``(state, *batch) -> (state, loss)`` train step: if gradients
     produce a non-finite new state, keep the old state and return loss=NaN as
-    the skip marker. The wrapped step stays a single jittable function."""
+    the skip marker. The wrapped step stays a single jittable function.
+
+    The inner step must NOT donate its state argument (the guard re-reads
+    it); build with ``make_denoise_train_step(..., donate=False)`` and donate
+    at the outer jit instead, where XLA sees both uses."""
 
     @functools.wraps(step_fn)
     def wrapper(state, *args, **kwargs):

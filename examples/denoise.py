@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--ckpt-dir", type=str, default=None)
+    ap.add_argument("--metrics", type=str, default=None,
+                    help="JSONL metrics path (parallel.MetricLogger)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -82,9 +84,20 @@ def main():
             state = mgr.restore(state)
             print(f"resumed from step {int(state.step)}")
 
-    step_fn = make_denoise_train_step(net, masked_mse)
+    from egnn_tpu.parallel import MetricLogger
+    from egnn_tpu.utils import finite_or_skip_step
+
+    # loss-spike resilience: a non-finite update is skipped, loss reported
+    # NaN. The guard re-reads the old state, so the inner step must not
+    # donate; donation happens at the outer jit where XLA sees both uses.
+    step_fn = jax.jit(
+        finite_or_skip_step(make_denoise_train_step(net, masked_mse, donate=False)),
+        donate_argnums=(0,),
+    )
     gen = jax.jit(lambda k: synthetic_chain_batch(k, args.batch, args.nodes))
     split = jax.jit(jax.random.split)
+    metrics = MetricLogger(args.metrics)
+    edges_per_step = args.batch * args.nodes * args.knn * args.depth
 
     t0 = time.time()
     for i in range(args.steps):
@@ -94,7 +107,11 @@ def main():
             state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
         )
         if i % 10 == 0 or i == args.steps - 1:
-            print(f"step {i:5d}  loss {float(loss):.4f}")
+            loss_v = float(loss)
+            dt_i = time.time() - t0
+            metrics.log(i, loss=loss_v,
+                        edges_per_s=(i + 1) * edges_per_step / dt_i)
+            print(f"step {i:5d}  loss {loss_v:.4f}")
         if mgr is not None and i > 0 and i % 100 == 0:
             mgr.save(int(state.step), state)
     jax.block_until_ready(state.params)
@@ -106,6 +123,7 @@ def main():
         mgr.wait()
         print(f"checkpointed at step {int(state.step)}")
         mgr.close()
+    metrics.close()
 
 
 if __name__ == "__main__":

@@ -194,3 +194,37 @@ def test_parity_network_full():
 
     np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
     np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)
+
+
+def test_parity_only_sparse_neighbors_with_adj_degrees():
+    """BASELINE.md anchor config 4: only_sparse_neighbors + chain adjacency,
+    num_adj_degrees=3, adj_dim=8 (README.md:97-120) — network-level parity."""
+    torch.manual_seed(7)
+    n, depth = 20, 2
+    tnet = TorchEGNNNetwork(
+        depth=depth, dim=16, num_tokens=9,
+        num_adj_degrees=3, adj_dim=8,
+        only_sparse_neighbors=True,
+    )
+    jnet = EGNNNetwork(
+        depth=depth, dim=16, num_tokens=9,
+        num_adj_degrees=3, adj_dim=8,
+        layer_kwargs=dict(only_sparse_neighbors=True),
+    )
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, 2)
+    feats = jax.random.randint(keys[0], (1, n), 0, 9)
+    coors = jax.random.normal(keys[1], (1, n, 3))
+    ar = jnp.arange(n)
+    adj = jnp.abs(ar[:, None] - ar[None, :]) == 1
+
+    with torch.no_grad():
+        tf, tc = tnet(
+            torch.tensor(np.asarray(feats)),
+            torch.tensor(np.asarray(coors)),
+            adj_mat=torch.tensor(np.asarray(adj)),
+        )
+    params = {"params": inject_network_params(tnet, depth)}
+    jf, jc = jnet.apply(params, feats, coors, adj_mat=adj)
+    np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)
