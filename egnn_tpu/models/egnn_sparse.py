@@ -41,7 +41,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.core import embed_tokens, fourier_encode_dist, layer_norm, coors_norm
+from ..ops.core import embed_tokens, fourier_encode_dist, gather_rows, layer_norm, coors_norm
 from ..ops.segment import graph_layer_norm, segment_aggregate, segment_softmax, segment_sum
 from . import init as inits
 
@@ -132,11 +132,19 @@ class EGNNSparse(nn.Module):
         # node set (the halo exchange — one all-gather over ICI per layer).
         if self.shard_axis is not None:
             x_full = jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
-            coors_full = x_full[:, : self.pos_dim]
-            feats_full = x_full[:, self.pos_dim :]
         else:
-            coors_full, feats_full = coors, feats
-        rel_coors = coors_full[j_idx] - coors[i_idx]
+            x_full = x
+        # ONE row gather per edge endpoint carrying [coors | feats]; narrow
+        # gathers are latency-bound on TPU and each separate gather costs a
+        # separate scatter-add transpose in the backward (gather_rows routes
+        # that through the Pallas segment-sum).
+        xg_i = gather_rows(x, i_idx)          # (E, pos+feats)
+        xg_j = gather_rows(x_full, j_idx)
+        coors_i_e = xg_i[:, : self.pos_dim]
+        coors_j_e = xg_j[:, : self.pos_dim]
+        feats_i_e = xg_i[:, self.pos_dim :]
+        feats_j_e = xg_j[:, self.pos_dim :]
+        rel_coors = coors_j_e - coors_i_e
         rel_dist = jnp.sum(rel_coors**2, axis=-1, keepdims=True)
 
         if self.fourier_features > 0:
@@ -154,9 +162,9 @@ class EGNNSparse(nn.Module):
         w_e = edge_w1[2 * d : 2 * d + self.edge_attr_dim]
         w_d = edge_w1[2 * d + self.edge_attr_dim :]
 
-        proj_i = feats @ w_i
-        proj_j = feats_full @ w_j
-        h1 = proj_i[i_idx] + proj_j[j_idx] + dist_feats @ w_d + edge_b1
+        # project the gathered dim-wide features per-edge (the hidden-wide
+        # per-node projection would make the gather/scatter ~4x wider)
+        h1 = feats_i_e @ w_i + feats_j_e @ w_j + dist_feats @ w_d + edge_b1
         if self.edge_attr_dim > 0:
             assert edge_attr is not None, (
                 f"layer built with edge_attr_dim={self.edge_attr_dim} but no edge_attr given"

@@ -104,6 +104,28 @@ def _gather_nodes_bwd(res, g):
 gather_nodes.defvjp(_gather_nodes_fwd, _gather_nodes_bwd)
 
 
+@jax.custom_vjp
+def gather_rows(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Row gather (n, d) x (e,) -> (e, d) for the COO path, with the backward
+    routed through ops/segment.py's dispatching segment-sum instead of XLA's
+    scatter-add (same rationale as gather_nodes)."""
+    return values[indices]
+
+
+def _gather_rows_fwd(values, indices):
+    return values[indices], (indices, values.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    from .segment import segment_sum
+
+    indices, n = res
+    return segment_sum(g, indices, n).astype(g.dtype), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def coors_norm(
     coors: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-8
 ) -> jnp.ndarray:
