@@ -22,7 +22,7 @@ CACHE = REPO / "BASELINE_LOCAL.json"
 
 # config 3
 DEPTH, DIM, N, KNN, BATCH = 3, 32, 1024, 8, 1
-STEPS, WARMUP = 50, 3
+STEPS, WARMUP = 400, 3
 EDGES_PER_STEP = BATCH * N * KNN * DEPTH
 
 
