@@ -90,6 +90,13 @@ class EGNN(nn.Module):
     # (ops/pallas/knn_layer.py). Off by default: XLA's gather pipeline
     # measured faster at typical sizes; see the kernel's docstring.
     fused_knn: bool = False
+    # compute_dtype: mixed-precision policy for the MESSAGE path (edge MLP,
+    # gate, coordinate-weight MLP, node MLP) — typically jnp.bfloat16 on TPU.
+    # Parameters stay f32; GEOMETRY (rel_coors, distances, CoorsNorm, the
+    # coordinate update itself) always runs f32 so equivariance quality is
+    # unchanged. Applies to the materialized kNN/all-pairs branch; the
+    # streamed/ring paths run f32.
+    compute_dtype: Any = None
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
@@ -328,7 +335,13 @@ class EGNN(nn.Module):
             dist_feats = rel_dist[..., None]
 
         # ---- factorized edge MLP layer 1 ----
-        proj_i = feats @ w_i  # (b, n, hidden)
+        # mp: mixed-precision cast for the message path (no-op by default)
+        mp = (
+            (lambda x: x.astype(self.compute_dtype))
+            if self.compute_dtype is not None
+            else (lambda x: x)
+        )
+        proj_i = mp(feats) @ mp(w_i)  # (b, n, hidden)
         if use_nearest:
             # Gather the dim-wide features and project per-pair instead of
             # gathering the hidden-wide projection: identical math, but the
@@ -336,19 +349,19 @@ class EGNN(nn.Module):
             # hidden/dim (~4x) less data; the extra (b,n,k,dim)@(dim,hidden)
             # matmul is nearly free on the MXU.
             feats_j = gather_nodes(feats, nbhd.indices)  # (b,n,k,d)
-            proj_j = feats_j @ w_j
+            proj_j = mp(feats_j) @ mp(w_j)
         else:
-            proj_j = (feats @ w_j)[:, None, :, :]  # (b,1,n,h)
+            proj_j = (mp(feats) @ mp(w_j))[:, None, :, :]  # (b,1,n,h)
 
-        h1 = proj_i[:, :, None, :] + proj_j + dist_feats @ w_d + edge_b1
+        h1 = proj_i[:, :, None, :] + proj_j + mp(dist_feats) @ mp(w_d) + mp(edge_b1)
         if edges is not None:
-            h1 = h1 + edges @ w_e
+            h1 = h1 + mp(edges) @ mp(w_e)
 
         m_ij = _silu(drop(h1, deterministic=deterministic))
-        m_ij = _silu(m_ij @ edge_w2 + edge_b2)  # (b, n, j, m_dim)
+        m_ij = _silu(m_ij @ mp(edge_w2) + mp(edge_b2))  # (b, n, j, m_dim)
 
         if self.soft_edges:
-            m_ij = m_ij * jax.nn.sigmoid(m_ij @ gate_w + gate_b)
+            m_ij = m_ij * jax.nn.sigmoid(m_ij @ mp(gate_w) + mp(gate_b))
 
         # ---- pair mask (reference order: mask_i * mask_j [& nbhd]) ----
         pair_mask = None
@@ -361,8 +374,11 @@ class EGNN(nn.Module):
 
         # ---- coordinate update (equivariant) ----
         if self.update_coors:
-            cw = _silu(drop(m_ij @ coors_w1 + coors_b1, deterministic=deterministic))
-            coor_weights = (cw @ coors_w2 + coors_b2)[..., 0]  # (b, n, j)
+            cw = _silu(drop(m_ij @ mp(coors_w1) + mp(coors_b1), deterministic=deterministic))
+            # back to full precision BEFORE weighting geometry
+            coor_weights = (cw @ mp(coors_w2) + mp(coors_b2))[..., 0].astype(
+                coors.dtype
+            )  # (b, n, j)
 
             rel_coors_n = coors_norm(rel_coors, cn_scale) if self.norm_coors else rel_coors
 
@@ -391,9 +407,9 @@ class EGNN(nn.Module):
                 m_i = m_ij.sum(axis=-2)
 
             normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
-            h = jnp.concatenate([normed, m_i], axis=-1)
-            h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
-            node_out = h @ node_w2 + node_b2 + feats
+            h = jnp.concatenate([mp(normed), m_i.astype(mp(normed).dtype)], axis=-1)
+            h = _silu(drop(h @ mp(node_w1) + mp(node_b1), deterministic=deterministic))
+            node_out = (h @ mp(node_w2) + mp(node_b2)).astype(feats.dtype) + feats
         else:
             node_out = feats
 
