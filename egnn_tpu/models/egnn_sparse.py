@@ -68,7 +68,12 @@ class EGNNSparse(nn.Module):
     dropout: float = 0.0
     coor_weights_clamp_value: Optional[float] = None
     aggr: str = "add"
-    # TPU-native extra (absent in the reference): mesh axis name for the
+    # TPU-native extras (absent in the reference):
+    # compute_dtype: mixed-precision policy for the message path (see
+    # models/egnn.py — same contract: params and geometry stay full
+    # precision, message MLPs run in e.g. bfloat16).
+    compute_dtype: Any = None
+    # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
     # When set, this layer must run inside shard_map with nodes sharded on
     # that axis: ``x`` is the local node shard, ``edge_index[1]`` holds
@@ -163,21 +168,28 @@ class EGNNSparse(nn.Module):
         w_d = edge_w1[2 * d + self.edge_attr_dim :]
 
         # project the gathered dim-wide features per-edge (the hidden-wide
-        # per-node projection would make the gather/scatter ~4x wider)
-        h1 = feats_i_e @ w_i + feats_j_e @ w_j + dist_feats @ w_d + edge_b1
+        # per-node projection would make the gather/scatter ~4x wider);
+        # mp = mixed-precision cast for the message path (no-op by default)
+        mp = (
+            (lambda v: v.astype(self.compute_dtype))
+            if self.compute_dtype is not None
+            else (lambda v: v)
+        )
+        h1 = mp(feats_i_e) @ mp(w_i) + mp(feats_j_e) @ mp(w_j)             + mp(dist_feats) @ mp(w_d) + mp(edge_b1)
         if self.edge_attr_dim > 0:
             assert edge_attr is not None, (
                 f"layer built with edge_attr_dim={self.edge_attr_dim} but no edge_attr given"
             )
-            h1 = h1 + edge_attr @ w_e
+            h1 = h1 + mp(edge_attr) @ mp(w_e)
 
         m_ij = _silu(drop(h1, deterministic=deterministic))
-        m_ij = _silu(m_ij @ edge_w2 + edge_b2)  # (E, m_dim)
+        m_ij = _silu(m_ij @ mp(edge_w2) + mp(edge_b2))  # (E, m_dim)
 
         # ---- coordinate update ----
         if self.update_coors:
-            cw = _silu(drop(m_ij @ coors_w1 + coors_b1, deterministic=deterministic))
-            coor_wij = cw @ coors_w2 + coors_b2  # (E, 1)
+            cw = _silu(drop(m_ij @ mp(coors_w1) + mp(coors_b1), deterministic=deterministic))
+            # back to full precision BEFORE weighting geometry
+            coor_wij = (cw @ mp(coors_w2) + mp(coors_b2)).astype(coors.dtype)  # (E, 1)
             if self.coor_weights_clamp_value is not None:
                 # fix-forward: reference discards this option (see module docstring)
                 c = self.coor_weights_clamp_value
@@ -193,8 +205,10 @@ class EGNNSparse(nn.Module):
         # ---- feature update ----
         if self.update_feats:
             if self.soft_edge:
-                m_ij = m_ij * jax.nn.sigmoid(m_ij @ gate_w + gate_b)
-            m_i = segment_aggregate(self.aggr, m_ij, i_idx, n, mask=edge_mask)
+                m_ij = m_ij * jax.nn.sigmoid(m_ij @ mp(gate_w) + mp(gate_b))
+            m_i = segment_aggregate(
+                self.aggr, m_ij.astype(feats.dtype), i_idx, n, mask=edge_mask
+            )
             if self.norm_feats:
                 hidden_feats = graph_layer_norm(
                     feats, batch, num_graphs, nn_gamma, nn_beta,

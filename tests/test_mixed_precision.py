@@ -64,3 +64,21 @@ def test_bf16_grads_finite():
     for leaf, pt in zip(jax.tree_util.tree_leaves(g), ptypes):
         assert leaf.dtype == pt  # grads keep the (full-precision) param dtype
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_sparse_bf16_close_to_f32():
+    from egnn_tpu import EGNN_Sparse
+    from egnn_tpu.ops.graph import knn_graph
+
+    coors = jax.random.normal(jax.random.PRNGKey(0), (40, 3), jnp.float32)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (40, 8), jnp.float32)
+    x = jnp.concatenate([coors, feats], -1)
+    es = knn_graph(coors, 4)
+    l32 = EGNN_Sparse(feats_dim=8, norm_coors=True)
+    lbf = EGNN_Sparse(feats_dim=8, norm_coors=True, compute_dtype=jnp.bfloat16)
+    p = l32.init(jax.random.PRNGKey(2), x, es.edge_index, edge_mask=es.mask)
+    o1 = l32.apply(p, x, es.edge_index, edge_mask=es.mask)
+    o2 = lbf.apply(p, x, es.edge_index, edge_mask=es.mask)
+    np.testing.assert_allclose(
+        np.asarray(o1, np.float32), np.asarray(o2, np.float32), atol=0.05
+    )
