@@ -228,3 +228,37 @@ def test_parity_only_sparse_neighbors_with_adj_degrees():
     jf, jc = jnet.apply(params, feats, coors, adj_mat=adj)
     np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
     np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_parity_fuzzed_option_combinations(seed):
+    """Randomized sweeps over the EGNN option surface, compared against the
+    torch reference with injected weights — parity must hold for ANY legal
+    kwarg combination, not just the hand-picked configs above."""
+    rng = np.random.RandomState(1000 + seed)
+    n = int(rng.choice([10, 17, 24]))
+    dim = int(rng.choice([8, 16, 48]))
+    edge_dim = int(rng.choice([0, 3]))
+    opts = dict(
+        m_dim=int(rng.choice([8, 16])),
+        fourier_features=int(rng.choice([0, 2, 4])),
+        num_nearest_neighbors=int(rng.choice([0, 4, 6])),
+        norm_feats=bool(rng.rand() < 0.5),
+        norm_coors=bool(rng.rand() < 0.5),
+        update_feats=True,
+        update_coors=bool(rng.rand() < 0.8),
+        m_pool_method=str(rng.choice(["sum", "mean"])),
+        soft_edges=bool(rng.rand() < 0.5),
+        coor_weights_clamp_value=float(rng.choice([0.0, 2.0])) or None,
+        valid_radius=float(rng.choice([np.inf, 5.0])),
+    )
+    torch.manual_seed(seed)
+    tlayer = TorchEGNN(dim=dim, edge_dim=edge_dim, **opts)
+    jlayer = EGNN(dim=dim, edge_dim=edge_dim, **opts)
+
+    feats = jnp.asarray(rng.randn(2, n, dim))
+    coors = jnp.asarray(rng.randn(2, n, 3))
+    edges = jnp.asarray(rng.randn(2, n, n, edge_dim)) if edge_dim else None
+    mask = jnp.asarray(rng.rand(2, n) > 0.2)
+    _compare_layer(tlayer, jlayer, feats, coors, edges=edges, mask=mask,
+                   atol=1e-8)
