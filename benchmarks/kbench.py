@@ -70,7 +70,7 @@ def bench_segment(e=8192, n=1024, d=16, reps=(200, 1000)):
     return out
 
 
-def bench_stream_layer(n=2048, d=64, reps=10):
+def bench_stream_layer(n=2048, d=64):
     from egnn_tpu import EGNN
 
     key = jax.random.PRNGKey(0)
@@ -84,22 +84,46 @@ def bench_stream_layer(n=2048, d=64, reps=10):
     pair_flops = 2 * hidden * m + 2 * m * 4 * m + 2 * 4 * m  # edge MLP + coors MLP
     flops_fwd = n * n * pair_flops
 
-    fwd = chain_calls(lambda f: jnp.stack(layer.apply(params, f, coors), -1).sum(-1), reps)
+    def fwd(f):
+        fo, co = layer.apply(params, f, coors)
+        return fo.sum() + co.sum()
 
-    @jax.jit
     def fwdbwd(f):
         def L(p):
             fo, co = layer.apply(p, f, coors)
             return (fo**2).mean() + (co**2).mean()
-        l, g = jax.value_and_grad(L)(params)
-        return l
+        return jax.value_and_grad(L)(params)
 
-    t_fwd = time_fn(fwd, lambda i: (feats * (1.0 + 1e-4 * (i + 2)),)) / reps
-    t_fb = time_fn(fwdbwd, lambda i: (feats * (1.0 + 1e-4 * (i + 2)),))
+    t_fwd = measure_op(fwd, feats, 10, 40)
+    t_fb = measure_op(fwdbwd, feats, 10, 40)
     return [
         Roofline(f"stream_layer_fwd[n={n},d={d}]", t_fwd, flops=flops_fwd),
         Roofline(f"stream_layer_fwd+bwd[n={n},d={d}]", t_fb, flops=3 * flops_fwd),
     ]
+
+
+def bench_fused_vs_xla_pair_pipeline(n=1024, k=8, d=32):
+    """Reproduces the measured-outcome note in ops/pallas/knn_layer.py."""
+    from egnn_tpu import EGNN
+
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (1, n, d), jnp.float32)
+    coors = jax.random.normal(jax.random.PRNGKey(1), (1, n, 3), jnp.float32)
+    out = []
+    for name, fused in (("layer_xla_pipeline", False), ("layer_fused_kernel", True)):
+        layer = EGNN(dim=d, num_nearest_neighbors=k, norm_coors=True,
+                     fused_knn=fused)
+        params = jax.jit(layer.init)(key, feats, coors)
+
+        def fwdbwd(f, layer=layer, params=params):
+            def L(p):
+                fo, co = layer.apply(p, f, coors)
+                return (fo**2).mean() + (co**2).mean()
+            return jax.value_and_grad(L)(params)
+
+        t = measure_op(fwdbwd, feats, 30, 120)
+        out.append(Roofline(f"{name}[n={n},k={k},d={d}]", t))
+    return out
 
 
 def main():
@@ -113,7 +137,9 @@ def main():
     results += bench_knn(reps=reps)
     results += bench_segment(reps=reps)
     if not args.quick:
+        results += bench_knn(n=4096, k=16, reps=(50, 200))
         results += bench_stream_layer()
+        results += bench_fused_vs_xla_pair_pipeline()
     for r in results:
         print(r.report())
 
