@@ -165,6 +165,12 @@ class EGNN(nn.Module):
         do_stream = self.ring_axis is not None or (
             self.stream_pairwise if self.stream_pairwise is not None else n >= 1024
         )
+        assert self.ring_axis is None or can_stream, (
+            "ring_axis requires the all-pairs streamed configuration: no kNN/"
+            "only_sparse_neighbors, no dense edges, and dropout inactive — "
+            "otherwise the layer would silently compute shard-local "
+            "neighborhoods only"
+        )
         if can_stream and do_stream:
             from ..ops.pairwise_stream import PairwiseParams, streamed_pairwise
 
@@ -225,10 +231,20 @@ class EGNN(nn.Module):
         if use_nearest:
             if self.only_sparse_neighbors:
                 assert adj_mat is not None, "only_sparse_neighbors requires adj_mat"
-                if num_nearest == 0:
-                    # Reference derives k from the (concrete) adjacency at call
-                    # time (egnn_pytorch.py:249); static k is required under jit.
-                    num_nearest = nb.max_degree(adj_mat)
+                # The reference UNCONDITIONALLY overrides k with the adjacency's
+                # max row degree (egnn_pytorch.py:249), even when the user set
+                # num_nearest_neighbors. Match that whenever the adjacency is
+                # concrete; under jit (traced adjacency) a static k is required
+                # on TPU, so fall back to the user-provided value.
+                derived = nb.try_max_degree(adj_mat)
+                if derived is not None:
+                    num_nearest = derived
+                elif num_nearest == 0:
+                    raise ValueError(
+                        "only_sparse_neighbors under jit needs a static k: "
+                        "pass num_nearest_neighbors explicitly or a concrete "
+                        "adjacency matrix"
+                    )
                 valid_radius = 0.0
             adj_b = None
             if adj_mat is not None:

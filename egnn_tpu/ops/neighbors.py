@@ -44,7 +44,19 @@ def max_degree(adj_mat: jnp.ndarray) -> int:
             "max_degree() needs a concrete adjacency matrix; under jit, pass "
             "num_nearest_neighbors explicitly (static k is required on TPU)."
         )
-    return int(jnp.asarray(adj_mat, dtype=jnp.float32).sum(axis=-1).max())
+    # numpy, not jnp: a concrete adjacency closed over inside jit would
+    # otherwise produce tracers (ops on constants are traced), breaking int().
+    import numpy as np
+
+    return int(np.asarray(adj_mat, dtype=np.float32).sum(axis=-1).max())
+
+
+def try_max_degree(adj_mat: jnp.ndarray):
+    """max_degree, or None when the adjacency is traced (under jit the caller
+    must fall back to an explicitly supplied static k)."""
+    if isinstance(adj_mat, jax.core.Tracer):
+        return None
+    return max_degree(adj_mat)
 
 
 def knn_ranking(
@@ -102,14 +114,17 @@ def knn_select(
     distance pass stays out of the autodiff graph entirely — callers recompute
     rel geometry differentiably on the selected (b, n, k) pairs.
     """
+    from .pallas.knn import supports_pallas_knn_shapes
+
     coors = jax.lax.stop_gradient(coors)
     n = coors.shape[1]
 
     use_pallas = backend == "pallas" or (
         backend == "auto"
-        and jax.default_backend() != "cpu"
+        and jax.default_backend() == "tpu"  # Mosaic kernels are TPU-only
         and n >= 128
         and 1 <= num_nearest <= 128
+        and supports_pallas_knn_shapes(n)
     )
     if use_pallas:
         from .pallas.knn import knn_select_pallas
@@ -129,9 +144,16 @@ def expand_adjacency_degrees(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Nth-degree adjacency expansion with per-degree labels.
 
-    Mirrors EGNN_Network's expansion loop (egnn_pytorch.py:420-428): repeated
-    boolean ``adj @ adj``; pairs first reached at degree d get label d.
-    Returns ``(expanded_adj_bool, adj_indices_int)`` with shapes of the input.
+    Mirrors EGNN_Network's expansion loop (egnn_pytorch.py:420-428) EXACTLY,
+    including its relabeling quirk: the reference computes
+    ``(nxt.float() - adj.float()).bool()`` — nonzero difference, i.e. XOR —
+    so pairs that are in ``adj`` but NOT in the 2-step reachability set
+    (difference -1) are ALSO relabeled to the higher degree. On a chain
+    graph, first-degree edges are not 2-step reachable, so they end up
+    labeled degree 2. Quirky, but parity demands it (caught by
+    test_parity_adjacency_degree_quirk with large init_eps).
+    The expanded adjacency REPLACES rather than unions (``adj = nxt``),
+    matching egnn_pytorch.py:427; it therefore gains self-loops (i->j->i).
     The loop is a static Python loop (num_adj_degrees is config).
     """
     adj = adj_mat.astype(bool)
@@ -139,7 +161,7 @@ def expand_adjacency_degrees(
     for ind in range(num_adj_degrees - 1):
         degree = ind + 2
         nxt = (adj.astype(jnp.float32) @ adj.astype(jnp.float32)) > 0
-        new_mask = nxt & ~adj
+        new_mask = nxt ^ adj  # reference: (nxt - adj).bool() == XOR
         adj_indices = jnp.where(new_mask, degree, adj_indices)
         adj = nxt
     return adj, adj_indices

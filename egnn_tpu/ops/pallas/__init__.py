@@ -2,18 +2,29 @@
 
 Each kernel has a jnp reference implementation living next to it (used as the
 CPU fallback and as the ground truth for ``interpret=True`` tests). Dispatch
-helpers pick the kernel on TPU backends and the jnp path elsewhere.
+helpers pick the kernel on TPU backends and the jnp path elsewhere; each
+kernel docstring records its MEASURED win/loss against the XLA equivalent.
 
 Kernels (SURVEY.md §7 stage 5):
-- ``knn.knn_select_pallas``      — fused pairwise distance + masked ranking +
-                                   streaming top-k (reference hot ops at
-                                   egnn_pytorch.py:232-268 — the O(n^2) part).
-- ``fused_message.egnn_message_aggregate`` — fused all-pairs message MLP +
-                                   coordinate/feature aggregation (dense no-kNN
-                                   path, egnn_pytorch.py:282-341).
-- ``segment.segment_sum_pallas`` — destination-sorted COO segment reduction
-                                   (torch-scatter replacement).
+- ``knn.knn_select_pallas``        — fused pairwise distance + masked ranking
+                                     + top-k selection (4-20x vs XLA).
+- ``segment.segment_sum_pallas``   — order-blind one-hot MXU segment-sum
+                                     (~2x vs XLA scatter at <=2048 segments).
+- ``knn_layer.fused_knn_messages`` — fully fused kNN pair pipeline with a
+                                     hand-written backward; opt-in only (the
+                                     XLA gather pipeline measured faster at
+                                     typical sizes).
 """
-from .knn import knn_select_pallas, supports_pallas_knn
+from .knn import knn_select_pallas, supports_pallas_knn, supports_pallas_knn_shapes
+from .knn_layer import fused_knn_messages, supports_fused_knn_layer
+from .segment import segment_sum_pallas, supports_pallas_segment_sum
 
-__all__ = ["knn_select_pallas", "supports_pallas_knn"]
+__all__ = [
+    "knn_select_pallas",
+    "supports_pallas_knn",
+    "supports_pallas_knn_shapes",
+    "fused_knn_messages",
+    "supports_fused_knn_layer",
+    "segment_sum_pallas",
+    "supports_pallas_segment_sum",
+]

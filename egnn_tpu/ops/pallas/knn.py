@@ -48,12 +48,25 @@ def _pick_ti(n: int) -> int:
     return _LANE  # n is always a multiple of _LANE
 
 
+def supports_pallas_knn_shapes(n: int) -> bool:
+    """Whether the (ti, n) ranking band of the smallest tile height still fits
+    the VMEM budget (beyond that, fall back to the jnp path rather than fail
+    Mosaic compilation)."""
+    n_pad = -(-n // _LANE) * _LANE
+    return _LANE * n_pad * 4 * 3 <= 12 * 1024 * 1024
+
+
 def supports_pallas_knn(n: int, k: int, backend: Optional[str] = None) -> bool:
-    """Whether the Pallas path applies: TPU backend and a big-enough problem
-    that the O(n^2) distance pass is worth a kernel."""
+    """Whether the Pallas path applies: TPU backend (Mosaic kernels are
+    TPU-only) and a problem that fits the kernel's VMEM model."""
     if backend is None:
         backend = jax.default_backend()
-    return backend not in ("cpu",) and n >= _LANE and 1 <= k <= _LANE
+    return (
+        backend == "tpu"
+        and n >= _LANE
+        and 1 <= k <= _LANE
+        and supports_pallas_knn_shapes(n)
+    )
 
 
 def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,

@@ -50,7 +50,7 @@ def supports_pallas_segment_sum(
         backend = jax.default_backend()
     out_bytes = num_segments * max(feat_dim, 1) * 4
     return (
-        backend not in ("cpu",)
+        backend == "tpu"  # Mosaic kernels are TPU-only
         and out_bytes <= _VMEM_OUT_BUDGET
         # crossover vs XLA scatter: the one-hot tile costs O(E*N) VPU work,
         # measured win for N <= ~2048 on v5e

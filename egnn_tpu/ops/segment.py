@@ -18,6 +18,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _apply_edge_mask(data: jnp.ndarray, mask: jnp.ndarray, fill) -> jnp.ndarray:
+    """Zero/fill masked rows; handles both (E,) and (E, d) data (a blind
+    ``mask[..., None]`` would mis-broadcast 1-D data to (E, E))."""
+    m = mask if mask.ndim == data.ndim else mask[..., None]
+    return jnp.where(m, data, fill)
+
+
 def segment_sum(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
@@ -25,7 +32,7 @@ def segment_sum(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     if mask is not None:
-        data = jnp.where(mask[..., None], data, jnp.zeros((), data.dtype))
+        data = _apply_edge_mask(data, mask, jnp.zeros((), data.dtype))
     # TPU dispatch: the Pallas one-hot MXU kernel (ops/pallas/segment.py)
     # beats XLA's scatter ~2-2.4x when the segment count is moderate
     # (<= 2048; the in-register one-hot costs O(E*N) VPU work, so huge N
@@ -70,7 +77,7 @@ def segment_max(
 ) -> jnp.ndarray:
     neg_inf = jnp.asarray(-jnp.inf, data.dtype)
     if mask is not None:
-        data = jnp.where(mask[..., None], data, neg_inf)
+        data = _apply_edge_mask(data, mask, neg_inf)
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
     # Empty segments come back as -inf; PyG/torch-scatter fill them with 0.
     return jnp.where(jnp.isneginf(out), jnp.zeros((), data.dtype), out)

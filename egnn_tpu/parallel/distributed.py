@@ -41,18 +41,34 @@ def initialize(
     Call before any jax computation.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do NOT probe jax.process_count()/jax.devices() here — that
+    # instantiates the local backend, after which distributed.initialize
+    # raises ("must be called before backends are initialized") and
+    # multi-host init would silently never happen.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator configured) — fine
+    except ValueError:
+        # single-process environment: no coordinator configured anywhere
+        # (env auto-detection found nothing and none was passed) — fine.
         pass
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg or "initialized" in msg:
+            pass  # someone else initialized first — fine
+        elif "must be called before" in msg and coordinator_address is None:
+            # The local backend is already up (e.g. tests that touched jax
+            # before calling us) and no explicit multi-host config was given:
+            # treat as single-process. With an explicit coordinator this is a
+            # real ordering bug, so re-raise in that case.
+            pass
+        else:
+            raise
     _initialized = True
 
 

@@ -262,3 +262,35 @@ def test_parity_fuzzed_option_combinations(seed):
     mask = jnp.asarray(rng.rand(2, n) > 0.2)
     _compare_layer(tlayer, jlayer, feats, coors, edges=edges, mask=mask,
                    atol=1e-8)
+
+
+def test_parity_adjacency_degree_quirk_large_weights():
+    """The reference's degree relabeling is XOR-like ((nxt - adj).bool(): the
+    -1 difference also casts to True), so chain first-degree edges get
+    relabeled to degree 2. With init_eps=0.5 any divergence here produces
+    O(10) output differences — this pins the quirk at full strength (the
+    default init_eps=1e-3 would crush it below tolerance)."""
+    torch.manual_seed(11)
+    n = 16
+    kw = dict(depth=1, dim=8, num_tokens=5, num_adj_degrees=2, adj_dim=4)
+    tnet = TorchEGNNNetwork(**kw, init_eps=0.5)
+    jnet = EGNNNetwork(
+        **{k: v for k, v in kw.items()},
+        layer_kwargs=dict(init_eps=0.5),
+    )
+    key = jax.random.PRNGKey(11)
+    feats = jax.random.randint(key, (1, n), 0, 5)
+    coors = jax.random.normal(jax.random.PRNGKey(12), (1, n, 3))
+    ar = jnp.arange(n)
+    adj = jnp.abs(ar[:, None] - ar[None, :]) == 1  # chain: triangle-free
+
+    with torch.no_grad():
+        tf, tc = tnet(
+            torch.tensor(np.asarray(feats)),
+            torch.tensor(np.asarray(coors)),
+            adj_mat=torch.tensor(np.asarray(adj)),
+        )
+    params = {"params": inject_network_params(tnet, 1)}
+    jf, jc = jnet.apply(params, feats, coors, adj_mat=adj)
+    np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)
