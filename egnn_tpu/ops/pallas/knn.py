@@ -100,6 +100,11 @@ def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
         ranking = jnp.where(col >= n_real, _PAD_FILL, ranking)
 
     # ---- k extraction rounds: min / first-argmin / evict ----
+    # (measured alternatives that LOST on v5e: a read-only band with
+    # lexicographic (value, col) thresholds instead of eviction — more
+    # elementwise ops per round, 51 vs 40 us at k=8; jax.lax.approx_min_k
+    # with recall 1.0 over an XLA-fused band — 140 us. The kernel is purely
+    # VPU-op-bound; per-round cost is the two reductions + ~4 elementwise.)
     vals, idxs = [], []
     for _ in range(k):
         m = jnp.min(ranking, axis=1, keepdims=True)
