@@ -3,6 +3,7 @@ from .state import (
     TrainState,
     make_adam,
     make_denoise_train_step,
+    make_partitioned_sparse_train_step,
     make_ring_denoise_train_step,
     make_sharded_denoise_train_step,
     masked_mse,
@@ -13,6 +14,7 @@ __all__ = [
     "TrainState",
     "make_adam",
     "make_denoise_train_step",
+    "make_partitioned_sparse_train_step",
     "make_ring_denoise_train_step",
     "make_sharded_denoise_train_step",
     "masked_mse",

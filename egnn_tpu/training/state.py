@@ -180,3 +180,80 @@ def make_ring_denoise_train_step(
         return state.apply_gradients(grads), loss
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_partitioned_sparse_train_step(
+    net,
+    mesh: Mesh,
+    graph_axis: str = "graph",
+    num_graphs: int = 1,
+) -> Callable:
+    """Explicit shard_map train step for the edge-partitioned SPARSE path.
+
+    The multi-chip story for the COO/molecule workload (SURVEY.md §2c "graph
+    partition"): nodes block-sharded over ``graph_axis``; each shard owns the
+    edges whose RECEIVER it owns, in the layout of
+    parallel/sparse_partition.py:partition_edges (receiver ids local, sender
+    ids global, static per-shard capacity + mask). ``net`` must be an
+    EGNNSparseNetwork built with ``shard_axis=graph_axis`` — inside, sender
+    features resolve against one all-gather of the node tensor over ICI per
+    layer, and graph-LayerNorm statistics psum to global values.
+
+    The loss is coordinate denoising (masked MSE of the output coordinate
+    block vs ``clean_coors``), psum-reduced over the axis; gradients psum so
+    the replicated Adam update is identical on every shard.
+
+    Step signature:
+      step(state, x, senders, receivers, edge_mask, edge_attr, batch_ids,
+           clean_coors, node_mask) -> (state, loss)
+    with every array except ``state`` sharded ``P(graph_axis)`` on its
+    leading (node or edge-slot) dimension.
+    """
+
+    def sharded_value_grad(params, x, snd, rcv, emsk, ea, bi, clean, nmsk):
+        # Same psum-after-grad discipline as the ring step: differentiate the
+        # local contribution, then psum value + grads (see the note there).
+        def loss_local(p):
+            out = net.apply(
+                {"params": p}, x, jnp.stack([snd, rcv]), edge_attr=ea,
+                batch=bi, edge_mask=emsk, num_graphs=num_graphs,
+            )
+            pos_dim = clean.shape[-1]
+            err = (out[:, :pos_dim] - clean) ** 2
+            err = err * nmsk[:, None].astype(err.dtype)
+            den = jax.lax.psum(
+                nmsk.sum().astype(err.dtype) * pos_dim, graph_axis
+            )
+            return err.sum() / jnp.maximum(den, 1.0)
+
+        loss_l, grads_l = jax.value_and_grad(loss_local)(params)
+        return (
+            jax.lax.psum(loss_l, graph_axis),
+            jax.lax.psum(grads_l, graph_axis),
+        )
+
+    sharded_value_grad = jax.shard_map(
+        sharded_value_grad,
+        mesh=mesh,
+        in_specs=(
+            P(),             # params replicated
+            P(graph_axis),   # x (N, pos+feat) node-sharded
+            P(graph_axis),   # senders (global ids, per-shard slots)
+            P(graph_axis),   # receivers (local ids)
+            P(graph_axis),   # edge mask
+            P(graph_axis),   # edge_attr
+            P(graph_axis),   # batch ids
+            P(graph_axis),   # clean coords
+            P(graph_axis),   # node mask
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(state: TrainState, x, snd, rcv, emsk, ea, bi, clean, nmsk):
+        loss, grads = sharded_value_grad(
+            state.params, x, snd, rcv, emsk, ea, bi, clean, nmsk
+        )
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -132,3 +132,54 @@ def test_partitioned_network_matches_unsharded():
                       pe.edge_attr, batch)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_partitioned_train_step_matches_unsharded():
+    """make_partitioned_sparse_train_step: one optimizer step on the 8-shard
+    mesh must produce the same loss and updated params as an unsharded
+    single-device step with the identical denoising objective."""
+    from egnn_tpu import EGNNSparseNetwork
+    from egnn_tpu.training import (
+        TrainState, make_adam, make_partitioned_sparse_train_step)
+
+    shards, num_graphs, n, d = 8, 2, 64, 6
+    x, batch, es, edge_attr = _graph_case(11, n=n, d=d, num_graphs=num_graphs)
+    clean = x[:, :3] + 0.05 * jax.random.normal(jax.random.PRNGKey(12), (n, 3))
+    nmsk = jnp.arange(n) < (n - 5)  # some padding nodes
+    common = dict(n_layers=2, feats_dim=d, edge_attr_dim=2,
+                  fourier_features=2, norm_feats=True, norm_coors=True)
+
+    net = EGNNSparseNetwork(**common)
+    params = net.init(jax.random.PRNGKey(1), x, es.edge_index,
+                      edge_attr=edge_attr, batch=batch, edge_mask=es.mask,
+                      num_graphs=num_graphs)["params"]
+
+    # unsharded reference step
+    def ref_loss(p):
+        out = net.apply({"params": p}, x, es.edge_index, edge_attr=edge_attr,
+                        batch=batch, edge_mask=es.mask, num_graphs=num_graphs)
+        err = (out[:, :3] - clean) ** 2 * nmsk[:, None]
+        return err.sum() / (nmsk.sum() * 3.0)
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(ref_loss))(params)
+    ref_state = TrainState.create(params, make_adam(1e-3)).apply_gradients(ref_g)
+
+    # sharded step
+    mesh = make_mesh(data=1, graph=shards)
+    pe = partition_edges(es.senders, es.receivers, n, shards,
+                         edge_attr=edge_attr, edge_mask=es.mask)
+    net_s = EGNNSparseNetwork(**common, shard_axis="graph")
+    step = make_partitioned_sparse_train_step(net_s, mesh,
+                                              num_graphs=num_graphs)
+    sp = lambda a: jax.device_put(a, NamedSharding(mesh, P("graph")))
+    state = jax.device_put(TrainState.create(params, make_adam(1e-3)),
+                           NamedSharding(mesh, P()))
+    state, loss = step(state, sp(x), sp(pe.senders), sp(pe.receivers),
+                       sp(pe.mask), sp(pe.edge_attr), sp(batch), sp(clean),
+                       sp(nmsk))
+
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
