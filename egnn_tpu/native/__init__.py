@@ -20,6 +20,10 @@ Semantics are bit-compatible with the jnp builders in ``egnn_tpu/ops/graph``
 (tested in tests/test_native.py): squared-distance ranking, lower-index
 tie-breaks (same as ``jax.lax.top_k``), BIG=1e10 invalid fill, padding rows
 pointing at node 0 (or the owning graph's base node in the batched layout).
+
+Measured vs the numpy fallback on one host core (OpenMP multiplies this on
+real multi-core hosts): batched kNN 4.0x at (32 graphs, 32 atoms, k=8),
+5.2x at (8, 256, k=16), 48x at a single 4096-node graph k=16.
 """
 from __future__ import annotations
 
