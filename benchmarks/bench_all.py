@@ -109,22 +109,26 @@ def config5_sparse_molecules():
     batch = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
     x = jnp.concatenate([coors.reshape(N, 3), types.astype(jnp.float32)], -1)
 
-    net = EGNNSparseNetwork(n_layers=layers, feats_dim=1,
-                            embedding_nums=[5], embedding_dims=[dim],
-                            fourier_features=4, norm_feats=True,
-                            norm_coors=True)
-    params = net.init(key, x, ei, batch=batch, edge_mask=em,
-                      num_graphs=G)["params"]
+    common = dict(n_layers=layers, feats_dim=1,
+                  embedding_nums=[5], embedding_dims=[dim],
+                  fourier_features=4, norm_feats=True, norm_coors=True)
+    out = {}
+    # general segment path, and the scatter-free uniform-degree path the
+    # kNN layout enables (models/egnn_sparse.py:uniform_degree)
+    for label, extra in (("", {}), ("_uniformk", dict(uniform_degree=K))):
+        net = EGNNSparseNetwork(**common, **extra)
+        params = net.init(key, x, ei, batch=batch, edge_mask=em,
+                          num_graphs=G)["params"]
 
-    def loss(xx):
-        out = net.apply({"params": params}, xx, ei, batch=batch,
-                        edge_mask=em, num_graphs=G)
-        return (out[:, 3:] ** 2).mean()
+        def loss(xx, net=net, params=params):
+            o = net.apply({"params": params}, xx, ei, batch=batch,
+                          edge_mask=em, num_graphs=G)
+            return (o[:, 3:] ** 2).mean()
 
-    t = measure_op(lambda xx: jax.value_and_grad(loss)(xx), x, 30, 120)
-    return dict(name="anchor5_sparse_32molecules_knn8_4layers",
-                fwd_bwd_us=round(t * 1e6, 1),
-                edges_per_s=round(N * K * layers / t))
+        t = measure_op(lambda xx, l=loss: jax.value_and_grad(l)(xx), x, 30, 120)
+        out[f"fwd_bwd_us{label}"] = round(t * 1e6, 1)
+        out[f"edges_per_s{label}"] = round(N * K * layers / t)
+    return dict(name="anchor5_sparse_32molecules_knn8_4layers", **out)
 
 
 def main():

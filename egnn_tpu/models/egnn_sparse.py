@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.core import embed_tokens, fourier_encode_dist, gather_rows, layer_norm, coors_norm
-from ..ops.segment import graph_layer_norm, segment_aggregate, segment_softmax, segment_sum
+from ..ops.segment import (graph_layer_norm, segment_aggregate,
+                           segment_softmax, segment_sum, uniform_aggregate)
 from . import init as inits
 
 
@@ -73,6 +74,15 @@ class EGNNSparse(nn.Module):
     # models/egnn.py — same contract: params and geometry stay full
     # precision, message MLPs run in e.g. bfloat16).
     compute_dtype: Any = None
+    # uniform_degree: static receiver degree of a receiver-major edge
+    # layout (the layout every ops/graph.py kNN builder and
+    # native.batched_knn_graph_np emit: edge rows [i*k, (i+1)*k) belong to
+    # receiver i BY POSITION; masked padding stays in its slot). When set,
+    # receiver gathers become broadcasts and segment reductions become dense
+    # reshape-reduces — no scatter in forward OR backward. Incompatible with
+    # shard_axis (partition_edges repacks rows by receiver id, breaking the
+    # positional contract).
+    uniform_degree: Optional[int] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
     # When set, this layer must run inside shard_map with nodes sharded on
@@ -104,6 +114,16 @@ class EGNNSparse(nn.Module):
         )
         n = x.shape[0]
         d = self.feats_dim
+        uk = self.uniform_degree
+        if uk is not None:
+            assert self.shard_axis is None, (
+                "uniform_degree requires the positional receiver-major "
+                "layout, which partition_edges does not preserve"
+            )
+            assert edge_index.shape[1] == n * uk, (
+                f"uniform_degree={uk} needs exactly n*k={n * uk} edge rows, "
+                f"got {edge_index.shape[1]}"
+            )
         dist_dim = 2 * self.fourier_features + 1
         ein = dist_dim + self.edge_attr_dim + 2 * d
         hidden = ein * 2
@@ -143,7 +163,14 @@ class EGNNSparse(nn.Module):
         # gathers are latency-bound on TPU and each separate gather costs a
         # separate scatter-add transpose in the backward (gather_rows routes
         # that through the Pallas segment-sum).
-        xg_i = gather_rows(x, i_idx)          # (E, pos+feats)
+        if uk is not None:
+            # receiver-major uniform degree: row e belongs to receiver e//uk,
+            # so the i-side "gather" is a broadcast (transpose = reshape-sum)
+            xg_i = jnp.broadcast_to(
+                x[:, None, :], (n, uk, x.shape[-1])
+            ).reshape(n * uk, x.shape[-1])
+        else:
+            xg_i = gather_rows(x, i_idx)      # (E, pos+feats)
         xg_j = gather_rows(x_full, j_idx)
         coors_i_e = xg_i[:, : self.pos_dim]
         coors_j_e = xg_j[:, : self.pos_dim]
@@ -195,9 +222,14 @@ class EGNNSparse(nn.Module):
                 c = self.coor_weights_clamp_value
                 coor_wij = jnp.clip(coor_wij, -c, c)
             rel_out = coors_norm(rel_coors, cn_scale) if self.norm_coors else rel_coors
-            mhat_i = segment_aggregate(
-                self.aggr, coor_wij * rel_out, i_idx, n, mask=edge_mask
-            )
+            if uk is not None:
+                mhat_i = uniform_aggregate(
+                    self.aggr, coor_wij * rel_out, uk, mask=edge_mask
+                )
+            else:
+                mhat_i = segment_aggregate(
+                    self.aggr, coor_wij * rel_out, i_idx, n, mask=edge_mask
+                )
             coors_out = coors + mhat_i
         else:
             coors_out = coors
@@ -206,9 +238,14 @@ class EGNNSparse(nn.Module):
         if self.update_feats:
             if self.soft_edge:
                 m_ij = m_ij * jax.nn.sigmoid(m_ij @ mp(gate_w) + mp(gate_b))
-            m_i = segment_aggregate(
-                self.aggr, m_ij.astype(feats.dtype), i_idx, n, mask=edge_mask
-            )
+            if uk is not None:
+                m_i = uniform_aggregate(
+                    self.aggr, m_ij.astype(feats.dtype), uk, mask=edge_mask
+                )
+            else:
+                m_i = segment_aggregate(
+                    self.aggr, m_ij.astype(feats.dtype), i_idx, n, mask=edge_mask
+                )
             if self.norm_feats:
                 hidden_feats = graph_layer_norm(
                     feats, batch, num_graphs, nn_gamma, nn_beta,
@@ -388,6 +425,10 @@ class EGNNSparseNetwork(nn.Module):
     # parallel/sparse_partition.py). Incompatible with global attention
     # (whose cross-graph softmax would need additional collectives).
     shard_axis: Optional[str] = None
+    # Static receiver degree of a receiver-major edge layout (see
+    # EGNNSparse.uniform_degree): scatter-free aggregation for kNN-built
+    # graphs. A recalc_edge hook must preserve the layout (knn_graph does).
+    uniform_degree: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -473,6 +514,7 @@ class EGNNSparseNetwork(nn.Module):
                 coor_weights_clamp_value=self.coor_weights_clamp_value,
                 aggr=self.aggr,
                 shard_axis=self.shard_axis,
+                uniform_degree=self.uniform_degree,
                 name=f"mpnn_{i}",
             )(
                 x,

@@ -159,3 +159,50 @@ def graph_layer_norm(
     if beta is not None:
         out = out + beta
     return out
+
+
+def uniform_aggregate(
+    aggr: str,
+    data: jnp.ndarray,
+    degree: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Aggregation for receiver-major UNIFORM-DEGREE edge layouts.
+
+    Contract: edge rows [i*degree, (i+1)*degree) all belong to receiver i —
+    by POSITION, regardless of the receiver-id array (masked padding rows
+    stay in their slot and contribute nothing). Every ops/graph.py kNN
+    builder emits exactly this layout with degree=k, as does
+    native.batched_knn_graph_np.
+
+    With a static degree the segment reduction is a dense reshape-reduce:
+    no scatter in the forward and no scatter-add transpose in the backward
+    (the gradient of a reshape-sum is a broadcast). Matches
+    ``segment_aggregate(aggr, data, repeat(arange(n), degree), n, mask)``
+    exactly, including PyG's mean (divide by valid count, min 1) and max
+    (empty segments -> 0) conventions.
+    """
+    e, w = data.shape
+    n = e // degree
+    assert n * degree == e, f"edge count {e} not divisible by degree {degree}"
+    d3 = data.reshape(n, degree, w)
+    m3 = None if mask is None else mask.reshape(n, degree, 1)
+    if aggr in ("add", "sum", "mean"):
+        if m3 is not None:
+            s = jnp.where(m3, d3, jnp.zeros((), data.dtype)).sum(axis=1)
+        else:
+            s = d3.sum(axis=1)
+        if aggr == "mean":
+            if m3 is not None:
+                cnt = m3.sum(axis=1).astype(data.dtype)
+                s = s / jnp.clip(cnt, min=1.0)
+            else:
+                s = s / degree
+        return s
+    if aggr == "max":
+        neg_inf = jnp.asarray(-jnp.inf, data.dtype)
+        if m3 is not None:
+            d3 = jnp.where(m3, d3, neg_inf)
+        out = d3.max(axis=1)
+        return jnp.where(jnp.isneginf(out), jnp.zeros((), data.dtype), out)
+    raise ValueError(f"unknown aggr {aggr!r}; must be add/sum/max/mean")

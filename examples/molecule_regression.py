@@ -105,6 +105,9 @@ def main():
                 norm_feats=True,
                 norm_coors=True,
                 aggr="add",
+                # kNN batches are receiver-major with exactly K slots per
+                # node -> scatter-free aggregation (1.5x fwd+bwd on v5e)
+                uniform_degree=K,
             )
             out = trunk(
                 x, edge_index,

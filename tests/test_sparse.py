@@ -237,3 +237,79 @@ def test_knn_graph_masked():
     per_node = jax.ops.segment_sum(es.mask.astype(jnp.int32), es.receivers, num_segments=12)
     assert bool((per_node[9:] == 0).all())
     assert bool((per_node[:9] == 4).all())
+
+
+class TestUniformDegree:
+    """uniform_degree: scatter-free aggregation for receiver-major
+    uniform-k layouts (every kNN builder's output). Must be bit-identical to
+    the general segment path — outputs AND gradients, all aggr modes."""
+
+    def _case(self):
+        key = jax.random.PRNGKey(1)
+        coors = jax.random.normal(key, (24, 3))
+        feats = jax.random.normal(jax.random.PRNGKey(2), (24, 6))
+        x = jnp.concatenate([coors, feats], -1)
+        nm = jnp.arange(24) < 20
+        es = knn_graph(coors, 4, node_mask=nm)
+        return x, es
+
+    @pytest.mark.parametrize("aggr", ["add", "sum", "mean", "max"])
+    def test_uniform_aggregate_matches_segment(self, aggr):
+        from egnn_tpu.ops.segment import segment_aggregate, uniform_aggregate
+
+        rng = np.random.RandomState(0)
+        n, k, w = 20, 4, 5
+        data = jnp.asarray(rng.randn(n * k, w))
+        ids = jnp.repeat(jnp.arange(n), k)
+        mask = jnp.asarray(rng.rand(n * k) > 0.3)
+        for m in (None, mask):
+            a = segment_aggregate(aggr, data, ids, n, mask=m)
+            b = uniform_aggregate(aggr, data, k, mask=m)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-12)
+
+    @pytest.mark.parametrize("aggr", ["add", "mean", "max"])
+    def test_layer_outputs_and_grads_match(self, aggr):
+        x, es = self._case()
+        kw = dict(feats_dim=6, fourier_features=2, norm_feats=True,
+                  norm_coors=True, aggr=aggr)
+        l0 = EGNNSparse(**kw)
+        l1 = EGNNSparse(**kw, uniform_degree=4)
+        p = l0.init(jax.random.PRNGKey(0), x, es.edge_index, edge_mask=es.mask)
+        o0 = l0.apply(p, x, es.edge_index, edge_mask=es.mask)
+        o1 = l1.apply(p, x, es.edge_index, edge_mask=es.mask)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-12)
+        g0 = jax.grad(lambda pp: jnp.sum(
+            l0.apply(pp, x, es.edge_index, edge_mask=es.mask) ** 2))(p)
+        g1 = jax.grad(lambda pp: jnp.sum(
+            l1.apply(pp, x, es.edge_index, edge_mask=es.mask) ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-12)
+
+    def test_network_equivariance_with_uniform_degree(self):
+        from egnn_tpu import EGNNSparseNetwork
+        from egnn_tpu.utils import rot
+
+        x, es = self._case()
+        net = EGNNSparseNetwork(n_layers=2, feats_dim=6, fourier_features=2,
+                                norm_feats=True, uniform_degree=4)
+        p = net.init(jax.random.PRNGKey(0), x, es.edge_index,
+                     edge_mask=es.mask)
+        out = net.apply(p, x, es.edge_index, edge_mask=es.mask)
+        R = rot(0.2, 0.8, 1.3)
+        T = jnp.asarray([1.0, -2.0, 0.5])
+        x2 = jnp.concatenate([x[:, :3] @ R + T, x[:, 3:]], -1)
+        out2 = net.apply(p, x2, es.edge_index, edge_mask=es.mask)
+        np.testing.assert_allclose(np.asarray(out2[:, 3:]),
+                                   np.asarray(out[:, 3:]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out2[:, :3]),
+                                   np.asarray(out[:, :3] @ R + T), atol=1e-9)
+
+    def test_wrong_edge_count_asserts(self):
+        x, es = self._case()
+        layer = EGNNSparse(feats_dim=6, uniform_degree=5)
+        with pytest.raises(AssertionError):
+            layer.init(jax.random.PRNGKey(0), x, es.edge_index,
+                       edge_mask=es.mask)
