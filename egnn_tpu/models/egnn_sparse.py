@@ -79,9 +79,11 @@ class EGNNSparse(nn.Module):
     # native.batched_knn_graph_np emit: edge rows [i*k, (i+1)*k) belong to
     # receiver i BY POSITION; masked padding stays in its slot). When set,
     # receiver gathers become broadcasts and segment reductions become dense
-    # reshape-reduces — no scatter in forward OR backward. Incompatible with
-    # shard_axis (partition_edges repacks rows by receiver id, breaking the
-    # positional contract).
+    # reshape-reduces — no scatter in forward OR backward. Composes with
+    # shard_axis when edges are sharded by slicing the uniform layout
+    # (parallel/sparse_partition.py:partition_uniform_edges); plain
+    # partition_edges repacks rows by receiver id and breaks the positional
+    # contract.
     uniform_degree: Optional[int] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
@@ -116,10 +118,11 @@ class EGNNSparse(nn.Module):
         d = self.feats_dim
         uk = self.uniform_degree
         if uk is not None:
-            assert self.shard_axis is None, (
-                "uniform_degree requires the positional receiver-major "
-                "layout, which partition_edges does not preserve"
-            )
+            # With shard_axis, n is the local node count and the edges must
+            # be the shard's contiguous row range of a globally uniform
+            # layout (parallel/sparse_partition.py:partition_uniform_edges —
+            # NOT partition_edges, which repacks by receiver id and breaks
+            # the positional contract).
             assert edge_index.shape[1] == n * uk, (
                 f"uniform_degree={uk} needs exactly n*k={n * uk} edge rows, "
                 f"got {edge_index.shape[1]}"

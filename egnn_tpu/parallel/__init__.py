@@ -7,7 +7,8 @@ from .distributed import (
 )
 from .mesh import dense_batch_sharding, make_mesh, sparse_node_sharding
 from .ring import ring_pairwise
-from .sparse_partition import PartitionedEdges, partition_edges
+from .sparse_partition import (PartitionedEdges, partition_edges,
+                               partition_uniform_edges)
 
 __all__ = [
     "MetricLogger",
@@ -21,4 +22,5 @@ __all__ = [
     "ring_pairwise",
     "PartitionedEdges",
     "partition_edges",
+    "partition_uniform_edges",
 ]

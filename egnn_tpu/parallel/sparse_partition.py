@@ -78,3 +78,43 @@ def partition_edges(
         edge_attr=jnp.concatenate(attr_parts) if edge_attr is not None else None,
         capacity=cap,
     )
+
+
+def partition_uniform_edges(
+    senders: jnp.ndarray,
+    n: int,
+    shards: int,
+    degree: int,
+    edge_attr: Optional[jnp.ndarray] = None,
+    edge_mask: Optional[jnp.ndarray] = None,
+) -> PartitionedEdges:
+    """Shard a receiver-major UNIFORM-DEGREE edge layout (every kNN builder's
+    output: edge rows [i*degree, (i+1)*degree) belong to receiver i by
+    position — see ops/segment.py:uniform_aggregate).
+
+    With nodes block-sharded, shard s's edges are exactly the contiguous row
+    range [s*nl*degree, (s+1)*nl*degree): partitioning is a pure slice — no
+    repacking, no per-shard capacity search, and the positional contract
+    survives, so ``EGNNSparse(shard_axis=..., uniform_degree=degree)`` keeps
+    scatter-free aggregation on every shard. Receiver ids are regenerated as
+    local positions (the uniform path ignores them, but the edge_index API
+    carries them); senders stay GLOBAL, resolved against the per-layer
+    all-gather.
+    """
+    assert n % shards == 0, f"n={n} must divide evenly over {shards} shards"
+    e = senders.shape[0]
+    assert e == n * degree, (
+        f"uniform layout needs n*degree={n * degree} edge rows, got {e}"
+    )
+    nl = n // shards
+    receivers_local = jnp.tile(
+        jnp.repeat(jnp.arange(nl, dtype=jnp.int32), degree), shards
+    )
+    mask = jnp.ones((e,), bool) if edge_mask is None else edge_mask
+    return PartitionedEdges(
+        senders=senders.astype(jnp.int32),
+        receivers=receivers_local,
+        mask=mask,
+        edge_attr=edge_attr,
+        capacity=nl * degree,
+    )

@@ -183,3 +183,42 @@ def test_partitioned_train_step_matches_unsharded():
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_partitioned_uniform_degree_matches_unsharded():
+    """shard_axis + uniform_degree via partition_uniform_edges (pure-slice
+    sharding of a kNN layout): scatter-free aggregation on every shard must
+    reproduce the single-device output exactly."""
+    from egnn_tpu.parallel import partition_uniform_edges
+
+    shards, n, d, k = 8, 64, 6, 4
+    x, batch, es, edge_attr = _graph_case(5, n=n, d=d, k=k)
+    common = dict(feats_dim=d, edge_attr_dim=2, fourier_features=2,
+                  norm_feats=True, norm_coors=True)
+    layer = EGNNSparse(**common)
+    params = layer.init(jax.random.PRNGKey(2), x, es.edge_index,
+                        edge_attr=edge_attr, batch=batch, edge_mask=es.mask)
+    ref = jax.jit(lambda p, xx: layer.apply(
+        p, xx, es.edge_index, edge_attr=edge_attr, batch=batch,
+        edge_mask=es.mask, num_graphs=2))(params, x)
+
+    pe = partition_uniform_edges(es.senders, n, shards, k,
+                                 edge_attr=edge_attr, edge_mask=es.mask)
+    assert pe.capacity == (n // shards) * k
+    layer_s = EGNNSparse(**common, shard_axis="graph", uniform_degree=k)
+    mesh = make_mesh(data=1, graph=shards)
+
+    def ap(p, xx, snd, rcv, msk, ea, bi):
+        return layer_s.apply(p, xx, jnp.stack([snd, rcv]), edge_attr=ea,
+                             batch=bi, edge_mask=msk, num_graphs=2)
+
+    ap = jax.shard_map(
+        ap, mesh=mesh,
+        in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                  P("graph"), P("graph")),
+        out_specs=P("graph"), check_vma=False,
+    )
+    out = jax.jit(ap)(params, x, pe.senders, pe.receivers, pe.mask,
+                      pe.edge_attr, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-9, atol=1e-9)
