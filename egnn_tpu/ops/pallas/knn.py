@@ -49,11 +49,13 @@ def _pick_ti(n: int) -> int:
 
 
 def supports_pallas_knn_shapes(n: int) -> bool:
-    """Whether the (ti, n) ranking band of the smallest tile height still fits
-    the VMEM budget (beyond that, fall back to the jnp path rather than fail
-    Mosaic compilation)."""
+    """Whether the full-band kernel fits scoped VMEM at the smallest tile
+    height: the two live (TI, n) f32/i32 buffers (ranking band + column
+    iota) against the 16 MB limit. Measured on v5e: compiles and runs at
+    n=16384 (2x8 MB, 3.3 ms at k=8), compile-fails at 32768 — beyond this
+    the j-tiled variant (knn_select_pallas_tiled) takes over."""
     n_pad = -(-n // _LANE) * _LANE
-    return _LANE * n_pad * 4 * 3 <= 12 * 1024 * 1024
+    return _LANE * n_pad * 4 * 2 <= 16 * 1024 * 1024
 
 
 def supports_pallas_knn(n: int, k: int, backend: Optional[str] = None) -> bool:
@@ -204,4 +206,209 @@ def knn_select_pallas(
     return _knn_call(
         coors, mask, adj_mat, k=k, interpret=interpret,
         has_mask=mask is not None, has_adj=adj_mat is not None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# j-tiled variant: any-n selection with O(ti*tj) VMEM
+# ---------------------------------------------------------------------------
+#
+# The kernel above holds a full (TI, n) ranking band, capping n at ~8k
+# (supports_pallas_knn_shapes); beyond that the jnp fallback materializes the
+# (b, n, n) distance matrix in HBM (1 GB at n=16384). This variant adds a
+# j-tile grid dimension: each step ranks a (TI, TJ) tile and folds its local
+# top-k into a VMEM-resident running top-k via a tiny (TI, 2k) merge band.
+# Same total VPU work as the full-band kernel, but memory is O(TI*TJ) — any
+# n. Tie parity with jax.lax.top_k is preserved structurally: j-tiles are
+# visited in ascending column order and the merge prefers the running
+# (earlier-column) half on equal values, so equal-ranking winners keep
+# lowest-column order.
+
+_TJ = 4096  # j-tile width: bigger tiles -> fewer merges. Measured at
+# n=16384 k=8 (v5e): tj=512 28 ms, 1024 15 ms, 2048 8.4 ms, 4096 5.7 ms
+# (XLA dist+top_k fallback: 229 ms). tj=8192 exceeds the 16 MB scoped VMEM.
+
+
+def supports_pallas_knn_tiled(n: int, k: int, backend=None) -> bool:
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu" and n >= _LANE and 1 <= k <= _LANE
+
+
+def _extract_topk(band, col, k, n_sentinel):
+    """k (min, first-argmin, evict) rounds; returns ((ti,k) vals, positions)."""
+    vals, poss = [], []
+    for _ in range(k):
+        m = jnp.min(band, axis=1, keepdims=True)
+        pos = jnp.min(jnp.where(band == m, col, n_sentinel), axis=1, keepdims=True)
+        vals.append(m)
+        poss.append(pos)
+        band = jnp.where(col == pos, _EVICT_FILL, band)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(poss, axis=1)
+
+
+def _knn_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
+                      adj_ref, out_vals_ref, out_idx_ref,
+                      run_vals, run_idx,
+                      *, n: int, n_real: int, k: int, c: int, ti: int, tj: int,
+                      has_mask: bool, has_adj: bool):
+    ii = pl.program_id(1)
+    jj = pl.program_id(2)
+    i0 = ii * ti
+    j0 = jj * tj
+    nj = pl.num_programs(2)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+
+    # ---- (TI, TJ) ranking tile ----
+    ranking = jnp.zeros((ti, tj), jnp.float32)
+    for cc in range(c):
+        xi_c = coors_i_ref[0, :, cc].reshape(ti, 1)
+        xj_c = coors_tj_ref[0, cc, :].reshape(1, tj)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+    if has_mask:
+        mi = mask_i_ref[0, 0, :].reshape(ti, 1)
+        mj = mask_j_ref[0, 0, :].reshape(1, tj)
+        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
+    if has_adj:
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0) + i0
+        eye = row_g == (col + j0)
+        at = adj_ref[0, :, :] > 0
+        ranking = jnp.where(eye, -1.0, ranking)
+        ranking = jnp.where(at & ~eye, 0.0, ranking)
+    ranking = jnp.where((col + j0) >= n_real, _PAD_FILL, ranking)
+
+    # ---- local top-k of this tile (global column ids) ----
+    loc_vals, loc_pos = _extract_topk(ranking, col, k, tj)
+    loc_idx = loc_pos + j0
+
+    # ---- fold into the running top-k ----
+    @pl.when(jj == 0)
+    def _init():
+        run_vals[:, :] = loc_vals
+        run_idx[:, :] = loc_idx
+
+    @pl.when(jj > 0)
+    def _merge():
+        mb_vals = jnp.concatenate([run_vals[:, :], loc_vals], axis=1)  # (ti, 2k)
+        mb_idx = jnp.concatenate([run_idx[:, :], loc_idx], axis=1)
+        mcol = jax.lax.broadcasted_iota(jnp.int32, (ti, 2 * k), 1)
+        # 2k-wide extraction; equal values pick the lowest band position,
+        # i.e. the running (earlier-column) half first — exact top_k order.
+        new_vals, new_pos = _extract_topk(mb_vals, mcol, k, 2 * k)
+        picked = []
+        for t in range(k):
+            sel = mcol == new_pos[:, t].reshape(ti, 1)
+            picked.append(
+                jnp.min(jnp.where(sel, mb_idx, jnp.int32(2**31 - 1)),
+                        axis=1, keepdims=True)
+            )
+        run_vals[:, :] = new_vals
+        run_idx[:, :] = jnp.concatenate(picked, axis=1)
+
+    @pl.when(jj == nj - 1)
+    def _emit():
+        out_vals_ref[0, :, :] = run_vals[:, :]
+        out_idx_ref[0, :, :] = run_idx[:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "has_mask", "has_adj", "tj")
+)
+def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
+                    tj=_TJ):
+    b, n_real, c = coors.shape
+    n = -(-n_real // _LANE) * _LANE
+    pad = n - n_real
+    tj = min(tj, n)
+    while n % tj:
+        tj //= 2
+    # (TI, TJ) band + iota + evict copy must fit the 16 MB scoped VMEM
+    ti = _LANE
+    for cand in (512, 256, 128, 64):
+        if n % cand == 0 and cand * tj * 4 * 3 <= 13 * 1024 * 1024:
+            ti = cand
+            break
+
+    coors32 = coors.astype(jnp.float32)
+    if pad:
+        coors32 = jnp.pad(coors32, ((0, 0), (0, pad), (0, 0)))
+    coors_t = jnp.swapaxes(coors32, 1, 2)
+
+    if has_mask:
+        mask_i32 = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, pad)))[:, None, :]
+    else:
+        mask_i32 = jnp.zeros((b, 1, n), jnp.int32)  # dummy, never read
+    if has_adj:
+        adj_i32 = jnp.pad(adj_mat.astype(jnp.int32), ((0, 0), (0, pad), (0, pad)))
+    else:
+        adj_i32 = jnp.zeros((b, 8, _LANE), jnp.int32)  # dummy, never read
+
+    grid = (b, n // ti, n // tj)
+    kernel = functools.partial(
+        _knn_tiled_kernel, n=n, n_real=n_real, k=k, c=c, ti=ti, tj=tj,
+        has_mask=has_mask, has_adj=has_adj,
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ti, c), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tj), lambda ib, ii, jj: (ib, 0, jj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ti),
+                         (lambda ib, ii, jj: (ib, 0, ii)) if has_mask
+                         else (lambda ib, ii, jj: (ib, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tj),
+                         (lambda ib, ii, jj: (ib, 0, jj)) if has_mask
+                         else (lambda ib, ii, jj: (ib, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ti, tj) if has_adj else (1, 8, _LANE),
+                (lambda ib, ii, jj: (ib, ii, jj)) if has_adj
+                else (lambda ib, ii, jj: (ib, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, k), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, k), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ti, k), jnp.float32),
+            pltpu.VMEM((ti, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3 * b * n * n * c + 4 * b * n * n * k),
+            bytes_accessed=int(b * n * (4 * c + 8 * k) + (b * n * n * 4 if has_adj else 0)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coors32, coors_t, mask_i32, mask_i32, adj_i32)
+
+    return vals[:, :n_real], idx[:, :n_real]
+
+
+def knn_select_pallas_tiled(
+    coors: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+    adj_mat: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    tj: int = _TJ,
+):
+    """Any-n top-k neighbor selection (j-tiled running top-k; same ranking
+    rules and tie order as knn_select_pallas / jax.lax.top_k)."""
+    return _knn_tiled_call(
+        coors, mask, adj_mat, k=k, interpret=interpret,
+        has_mask=mask is not None, has_adj=adj_mat is not None, tj=tj,
     )

@@ -84,3 +84,50 @@ def test_dispatcher_cpu_fallback_matches():
     ref = _jnp_reference(coors, 4, valid_radius=0.0, mask=mask, adj_mat=adj)
     np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
     np.testing.assert_array_equal(np.asarray(nbhd.valid), np.asarray(ref.valid))
+
+
+class TestTiledKernel:
+    """j-tiled any-n variant: interpret-mode parity with the jnp ranking
+    rules across multiple j-tiles, masks, adjacency, and padding."""
+
+    @pytest.mark.parametrize("n,k,tj,masked,adjd", [
+        (512, 8, 128, False, False),
+        (512, 8, 128, True, False),
+        (384, 4, 128, True, True),
+        (300, 3, 128, True, False),   # padded n, multi-tile
+        (256, 8, 256, True, False),   # single tile degenerate case
+    ])
+    def test_tiled_parity(self, n, k, tj, masked, adjd):
+        from egnn_tpu.ops.pallas.knn import knn_select_pallas_tiled
+
+        b = 2
+        rng = np.random.RandomState(n + k)
+        # integer coordinates: f32 distances are exact, so f64-vs-f32
+        # ranking comparisons are bitwise (conftest enables x64)
+        coors = jnp.asarray(rng.randint(-8, 8, size=(b, n, 3)).astype(np.float64))
+        mask = jnp.asarray(rng.rand(b, n) > 0.2) if masked else None
+        adj = None
+        if adjd:
+            ar = jnp.arange(n)
+            adj = jnp.broadcast_to(
+                jnp.abs(ar[:, None] - ar[None, :]) == 1, (b, n, n))
+        ranking = nb.knn_ranking(nb.pairwise_geometry(coors)[1], mask=mask,
+                                 adj_mat=adj)
+        neg_vals, ref_idx = jax.lax.top_k(-ranking, k)
+        v, i = knn_select_pallas_tiled(coors, k, mask=mask, adj_mat=adj,
+                                       interpret=True, tj=tj)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(-neg_vals),
+                                   rtol=1e-6)
+
+    def test_tie_order_across_tiles(self):
+        # coincident points straddling a tile boundary: winners must keep
+        # ascending-column order (running half preferred on equal values)
+        from egnn_tpu.ops.pallas.knn import knn_select_pallas_tiled
+
+        n, k, tj = 256, 6, 128
+        coors = jnp.zeros((1, n, 3))  # every distance ties at 0
+        _, idx = knn_select_pallas_tiled(coors, k, interpret=True, tj=tj)
+        ranking = nb.knn_ranking(nb.pairwise_geometry(coors)[1])
+        _, ref_idx = jax.lax.top_k(-ranking, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
