@@ -21,21 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from egnn_tpu.ops import neighbors as nb
-from egnn_tpu.ops.pallas.knn import knn_select_pallas
+from egnn_tpu.ops.pallas.knn import knn_select_pallas, knn_select_pallas_tiled
 from egnn_tpu.utils.profiling import Roofline, chain_calls, measure_op, time_fn
 
 
-def bench_knn(n=1024, k=8, c=3, reps=(200, 1000)):
+def bench_knn(n=1024, k=8, c=3, reps=(200, 1000), include_xla=True):
     rng = np.random.RandomState(0)
     coors = jnp.asarray(rng.randn(1, n, c).astype(np.float32))
     lo, hi = reps
     flops = n * n * (3 * c + 4 * k)  # dist build + k extraction rounds
     bytes_ = n * (4 * c + 8 * k)
-    cases = (
+    cases = [
         ("knn_pallas", lambda x: knn_select_pallas(x, k)),
-        ("knn_xla", lambda x: nb.select_neighborhood(
-            nb.knn_ranking(nb.pairwise_geometry(x)[1]), k, 0.0)[:2]),
-    )
+        ("knn_tiled", lambda x: knn_select_pallas_tiled(x, k)),
+    ]
+    if include_xla:  # at n >= 32k the (n, n) distance matrix stops fitting
+        cases.append(("knn_xla", lambda x: nb.select_neighborhood(
+            nb.knn_ranking(nb.pairwise_geometry(x)[1]), k, 0.0)[:2]))
     out = []
     for name, fn in cases:
         t = measure_op(fn, coors, reps_lo=lo, reps_hi=hi)
@@ -138,6 +140,7 @@ def main():
     results += bench_segment(reps=reps)
     if not args.quick:
         results += bench_knn(n=4096, k=16, reps=(50, 200))
+        results += bench_knn(n=16384, k=8, reps=(5, 25))
         results += bench_stream_layer()
         results += bench_fused_vs_xla_pair_pipeline()
     for r in results:

@@ -52,12 +52,17 @@ def _compile() -> Optional[ctypes.CDLL]:
     so_path = _BUILD_DIR / f"graph_builder_{tag}.so"
     if not so_path.exists():
         _BUILD_DIR.mkdir(exist_ok=True)
+        # compile to a process-unique temp path, then rename: atomic on
+        # POSIX, so concurrent processes (e.g. DataLoader-style workers)
+        # never dlopen a half-written .so
+        tmp_path = so_path.with_suffix(f".tmp{os.getpid()}")
         base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                str(_SRC), "-o", str(so_path)]
+                str(_SRC), "-o", str(tmp_path)]
         for extra in (["-fopenmp"], []):
             try:
                 subprocess.run(base + extra, check=True, capture_output=True,
                                timeout=120)
+                os.replace(tmp_path, so_path)
                 break
             except (subprocess.CalledProcessError, FileNotFoundError,
                     subprocess.TimeoutExpired) as e:

@@ -152,26 +152,30 @@ class PrefetchLoader:
         self._sharding = sharding
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         produced = 0
-        while not self._stop.is_set():
-            if self._n is not None and produced >= self._n:
-                self._q.put(self._STOP)
-                return
-            batch = self._make()
-            # device_put from the worker thread: the H2D copy (and any
-            # donation bookkeeping) happens off the training thread.
-            device_batch = jax.device_put(batch, self._sharding)
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(device_batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
-            produced += 1
+                if self._n is not None and produced >= self._n:
+                    self._q.put(self._STOP)
+                    return
+                batch = self._make()
+                # device_put from the worker thread: the H2D copy (and any
+                # donation bookkeeping) happens off the training thread.
+                device_batch = jax.device_put(batch, self._sharding)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(device_batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                produced += 1
+        except BaseException as e:  # surfaced in __next__, not swallowed
+            self._error = e
 
     def __iter__(self) -> Iterator:
         return self
@@ -183,6 +187,10 @@ class PrefetchLoader:
                 break
             except queue.Empty:
                 if not self._thread.is_alive():
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "PrefetchLoader worker failed"
+                        ) from self._error
                     raise StopIteration
         if item is self._STOP:
             raise StopIteration
