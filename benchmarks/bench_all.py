@@ -42,7 +42,8 @@ def config1_layer(edge_dim=0):
         fo, co = layer.apply(params, f, coors, edges)
         return (fo**2).mean() + (co**2).mean()
 
-    t = _grad_time(loss, feats)
+    # us-scale op: long chains so tunnel jitter (~ms) can't swamp the slope
+    t = _grad_time(loss, feats, lo=1000, hi=4000)
     return dict(name=f"anchor{1 if not edge_dim else 2}_layer_dim512_n16"
                 + ("_edges4" if edge_dim else ""),
                 fwd_bwd_us=round(t * 1e6, 1), pairs_per_s=round(n * n / t))
