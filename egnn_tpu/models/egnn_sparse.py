@@ -108,6 +108,7 @@ class EGNNSparse(nn.Module):
         batch: Optional[jnp.ndarray] = None,      # (N,) graph ids
         edge_mask: Optional[jnp.ndarray] = None,  # (E,) bool; False = padding
         num_graphs: int = 1,
+        node_mask: Optional[jnp.ndarray] = None,  # (N,) bool; False = padding
         deterministic: bool = True,
     ) -> jnp.ndarray:
         assert self.aggr in {"add", "sum", "max", "mean"}, "pool method must be a valid option"
@@ -250,9 +251,13 @@ class EGNNSparse(nn.Module):
                     self.aggr, m_ij.astype(feats.dtype), i_idx, n, mask=edge_mask
                 )
             if self.norm_feats:
+                # node_mask keeps padded capacity slots out of the per-graph
+                # statistics (the reference's PyG LayerNorm never sees
+                # padding because PyG doesn't pad; static-capacity batches
+                # must mask it explicitly)
                 hidden_feats = graph_layer_norm(
                     feats, batch, num_graphs, nn_gamma, nn_beta,
-                    axis_name=self.shard_axis,
+                    node_mask=node_mask, axis_name=self.shard_axis,
                 )
             else:
                 hidden_feats = feats
@@ -442,6 +447,7 @@ class EGNNSparseNetwork(nn.Module):
         edge_attr: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         num_graphs: int = 1,
+        node_mask: Optional[jnp.ndarray] = None,
         recalc_edge: Optional[Callable] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -498,7 +504,8 @@ class EGNNSparseNetwork(nn.Module):
                     heads=self.global_linear_attn_heads,
                     dim_head=self.global_linear_attn_dim_head,
                     name=f"global_attn_{i}",
-                )(feats_part, global_tokens, batch_ids, num_graphs)
+                )(feats_part, global_tokens, batch_ids, num_graphs,
+                  node_mask=node_mask)
                 x = jnp.concatenate([x[:, : self.pos_dim], feats_part], axis=-1)
 
             x = EGNNSparse(
@@ -526,6 +533,7 @@ class EGNNSparseNetwork(nn.Module):
                 batch=batch,
                 edge_mask=edge_mask,
                 num_graphs=num_graphs,
+                node_mask=node_mask,
                 deterministic=deterministic,
             )
 

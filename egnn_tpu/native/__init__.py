@@ -172,10 +172,11 @@ def _knn_graph_numpy(coors, k, node_mask, loop):
         dist = np.where(m[:, None] & m[None, :], dist, _BIG)
     kk = min(k, n)
     idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]  # ties -> lower j
-    if kk < k:  # capacity beyond n: repeat of the jnp big-fill behavior
-        idx = np.pad(idx, ((0, 0), (0, k - kk)))
     vals = np.take_along_axis(dist, idx, axis=1)
     valid = vals < _BIG
+    if kk < k:  # capacity beyond n: pad slots are INVALID (match the C++ path)
+        idx = np.pad(idx, ((0, 0), (0, k - kk)))
+        valid = np.pad(valid, ((0, 0), (0, k - kk)))
     senders = np.where(valid, idx, 0).astype(np.int32).reshape(-1)
     receivers = np.where(valid, np.arange(n)[:, None], 0).astype(np.int32).reshape(-1)
     return senders, receivers, valid.reshape(-1)

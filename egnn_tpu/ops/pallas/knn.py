@@ -71,6 +71,28 @@ def supports_pallas_knn(n: int, k: int, backend: Optional[str] = None) -> bool:
     )
 
 
+def _prep_knn_inputs(coors, mask, adj_mat, has_mask, has_adj):
+    """Shared host-side prep for both selection kernels: f32 cast, lane
+    padding, (b, c, n) transpose for lane-contiguous j reads, and dummy
+    mask/adj arrays (never read when the corresponding flag is off)."""
+    b, n_real, c = coors.shape
+    n = -(-n_real // _LANE) * _LANE
+    pad = n - n_real
+    coors32 = coors.astype(jnp.float32)
+    if pad:
+        coors32 = jnp.pad(coors32, ((0, 0), (0, pad), (0, 0)))
+    coors_t = jnp.swapaxes(coors32, 1, 2)
+    if has_mask:
+        mask_i32 = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, pad)))[:, None, :]
+    else:
+        mask_i32 = jnp.zeros((b, 1, n), jnp.int32)  # dummy, never read
+    if has_adj:
+        adj_i32 = jnp.pad(adj_mat.astype(jnp.int32), ((0, 0), (0, pad), (0, pad)))
+    else:
+        adj_i32 = jnp.zeros((b, 8, _LANE), jnp.int32)  # dummy, never read
+    return coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c
+
+
 def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
                 out_vals_ref, out_idx_ref,
                 *, n: int, n_real: int, k: int, c: int, ti: int,
@@ -123,24 +145,9 @@ def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
     jax.jit, static_argnames=("k", "interpret", "has_mask", "has_adj")
 )
 def _knn_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj):
-    b, n_real, c = coors.shape
-    n = -(-n_real // _LANE) * _LANE
-    pad = n - n_real
+    coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c = _prep_knn_inputs(
+        coors, mask, adj_mat, has_mask, has_adj)
     ti = _pick_ti(n)
-
-    coors32 = coors.astype(jnp.float32)
-    if pad:
-        coors32 = jnp.pad(coors32, ((0, 0), (0, pad), (0, 0)))
-    coors_t = jnp.swapaxes(coors32, 1, 2)  # (b, c, n) — lane-contiguous j reads
-
-    if has_mask:
-        mask_i32 = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, pad)))[:, None, :]
-    else:
-        mask_i32 = jnp.zeros((b, 1, _LANE), jnp.int32)  # dummy, never read
-    if has_adj:
-        adj_i32 = jnp.pad(adj_mat.astype(jnp.int32), ((0, 0), (0, pad), (0, pad)))
-    else:
-        adj_i32 = jnp.zeros((b, 8, _LANE), jnp.int32)  # dummy, never read
 
     grid = (b, n // ti)
     kernel = functools.partial(
@@ -318,9 +325,8 @@ def _knn_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
 )
 def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
                     tj=_TJ):
-    b, n_real, c = coors.shape
-    n = -(-n_real // _LANE) * _LANE
-    pad = n - n_real
+    coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c = _prep_knn_inputs(
+        coors, mask, adj_mat, has_mask, has_adj)
     tj = min(tj, n)
     while n % tj:
         tj //= 2
@@ -330,20 +336,6 @@ def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
         if n % cand == 0 and cand * tj * 4 * 3 <= 13 * 1024 * 1024:
             ti = cand
             break
-
-    coors32 = coors.astype(jnp.float32)
-    if pad:
-        coors32 = jnp.pad(coors32, ((0, 0), (0, pad), (0, 0)))
-    coors_t = jnp.swapaxes(coors32, 1, 2)
-
-    if has_mask:
-        mask_i32 = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, pad)))[:, None, :]
-    else:
-        mask_i32 = jnp.zeros((b, 1, n), jnp.int32)  # dummy, never read
-    if has_adj:
-        adj_i32 = jnp.pad(adj_mat.astype(jnp.int32), ((0, 0), (0, pad), (0, pad)))
-    else:
-        adj_i32 = jnp.zeros((b, 8, _LANE), jnp.int32)  # dummy, never read
 
     grid = (b, n // ti, n // tj)
     kernel = functools.partial(

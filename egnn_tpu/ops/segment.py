@@ -66,7 +66,9 @@ def segment_mean(
 ) -> jnp.ndarray:
     total = segment_sum(data, segment_ids, num_segments, mask)
     count = segment_count(segment_ids, num_segments, mask, dtype=data.dtype)
-    return total / jnp.clip(count[..., None], min=1.0)
+    if total.ndim > count.ndim:  # (S, d) totals vs (S,) counts; 1-D data stays (S,)
+        count = count[..., None]
+    return total / jnp.clip(count, min=1.0)
 
 
 def segment_max(

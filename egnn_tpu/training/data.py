@@ -94,7 +94,8 @@ def synthetic_molecule_batch_np(
     G, NA = num_graphs, node_capacity
     charges = np.asarray(charges)
     types = rng.randint(0, num_types, size=(G, NA))
-    sizes = rng.randint(8, NA + 1, size=G).astype(np.int32)
+    min_atoms = min(8, NA)
+    sizes = rng.randint(min_atoms, NA + 1, size=G).astype(np.int32)
     batch_ids, node_mask = nat.pack_batch_np(sizes, NA)
     coors = 2.0 * rng.randn(G, NA, 3)
 

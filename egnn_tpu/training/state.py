@@ -217,6 +217,7 @@ def make_partitioned_sparse_train_step(
             out = net.apply(
                 {"params": p}, x, jnp.stack([snd, rcv]), edge_attr=ea,
                 batch=bi, edge_mask=emsk, num_graphs=num_graphs,
+                node_mask=nmsk,
             )
             pos_dim = clean.shape[-1]
             err = (out[:, :pos_dim] - clean) ** 2

@@ -114,6 +114,7 @@ def main():
                 batch=batch_ids,
                 edge_mask=edge_mask & node_mask[edge_index[1]],
                 num_graphs=G,
+                node_mask=node_mask,  # keeps padding out of LayerNorm stats
             )
             feats = out[:, 3:]
             feats = jnp.where(node_mask[:, None], feats, 0.0)

@@ -313,3 +313,33 @@ class TestUniformDegree:
         with pytest.raises(AssertionError):
             layer.init(jax.random.PRNGKey(0), x, es.edge_index,
                        edge_mask=es.mask)
+
+
+def test_node_mask_isolates_padding_from_layernorm():
+    """With node_mask passed, mutating PADDED nodes' features must not change
+    any valid node's output (graph-LayerNorm statistics would otherwise leak
+    padding content into real nodes — the reference never pads, so this is a
+    static-capacity-specific contract)."""
+    n, d, k, valid_n = 24, 6, 4, 18
+    key = jax.random.PRNGKey(3)
+    coors = jax.random.normal(key, (n, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(4), (n, d))
+    nm = jnp.arange(n) < valid_n
+    x = jnp.concatenate([coors, feats], -1)
+    es = knn_graph(coors, k, node_mask=nm)
+    net = EGNNSparseNetwork(n_layers=2, feats_dim=d, fourier_features=2,
+                            norm_feats=True)
+    p = net.init(jax.random.PRNGKey(0), x, es.edge_index, edge_mask=es.mask,
+                 node_mask=nm)
+    out1 = net.apply(p, x, es.edge_index, edge_mask=es.mask, node_mask=nm)
+    # scramble the padded tail's features AND coordinates
+    x2 = x.at[valid_n:].set(100.0 * jax.random.normal(jax.random.PRNGKey(9),
+                                                      (n - valid_n, 3 + d)))
+    out2 = net.apply(p, x2, es.edge_index, edge_mask=es.mask, node_mask=nm)
+    np.testing.assert_allclose(np.asarray(out2[:valid_n]),
+                               np.asarray(out1[:valid_n]), atol=1e-12)
+    # sanity: WITHOUT node_mask the padding leaks (documents why it exists)
+    o1 = net.apply(p, x, es.edge_index, edge_mask=es.mask)
+    o2 = net.apply(p, x2, es.edge_index, edge_mask=es.mask)
+    assert np.abs(np.asarray(o2[:valid_n, 3:]) -
+                  np.asarray(o1[:valid_n, 3:])).max() > 1e-6

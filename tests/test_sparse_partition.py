@@ -157,7 +157,8 @@ def test_partitioned_train_step_matches_unsharded():
     # unsharded reference step
     def ref_loss(p):
         out = net.apply({"params": p}, x, es.edge_index, edge_attr=edge_attr,
-                        batch=batch, edge_mask=es.mask, num_graphs=num_graphs)
+                        batch=batch, edge_mask=es.mask, num_graphs=num_graphs,
+                        node_mask=nmsk)
         err = (out[:, :3] - clean) ** 2 * nmsk[:, None]
         return err.sum() / (nmsk.sum() * 3.0)
 
