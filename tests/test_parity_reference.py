@@ -16,6 +16,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# Install the minimal PyG stand-in BEFORE the reference package imports
+# (egnn_pytorch/__init__ pulls in the sparse module, whose PyG fallback
+# otherwise leaves EGNN_Sparse unconstructible) — see tests/_pyg_shim.py.
+from _pyg_shim import install as _install_pyg_shim
+
+_install_pyg_shim()
+
 REFERENCE_PATH = "/root/reference"
 if REFERENCE_PATH not in sys.path:
     sys.path.insert(0, REFERENCE_PATH)
@@ -294,3 +301,82 @@ def test_parity_adjacency_degree_quirk_large_weights():
     jf, jc = jnet.apply(params, feats, coors, adj_mat=adj)
     np.testing.assert_allclose(jf, tf.numpy(), atol=1e-8, rtol=1e-6)
     np.testing.assert_allclose(jc, tc.numpy(), atol=1e-8, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Sparse/COO path vs the PyG reference (requires torch_geometric)
+# ---------------------------------------------------------------------------
+
+try:
+    from egnn_pytorch.egnn_pytorch_geometric import EGNN_Sparse as TorchEGNNSparse
+
+    TorchEGNNSparse(feats_dim=4)  # constructible only with PyG or the shim
+    HAVE_PYG = True
+except Exception:  # pragma: no cover
+    HAVE_PYG = False
+
+sparse_only = pytest.mark.skipif(not HAVE_PYG, reason="torch_geometric not available")
+
+
+def _sparse_case(seed, n=24, d=6, e_attr=0, num_edges=64):
+    rng = np.random.RandomState(seed)
+    coors = rng.randn(n, 3)
+    feats = rng.randn(n, d)
+    x = np.concatenate([coors, feats], axis=-1)
+    ei = rng.randint(0, n, size=(2, num_edges))
+    ea = rng.randn(num_edges, e_attr) if e_attr else None
+    return x, ei, ea
+
+
+def _compare_sparse(tkw, jkw, seed=0, e_attr=0, atol=1e-10):
+    from egnn_tpu import EGNNSparse
+    from egnn_tpu.utils.port_weights import egnn_sparse_params_from_torch
+
+    torch.manual_seed(seed)
+    x, ei, ea = _sparse_case(seed, e_attr=e_attr)
+    tlayer = TorchEGNNSparse(feats_dim=6, edge_attr_dim=e_attr, **tkw)
+    with torch.no_grad():
+        tout = tlayer(
+            torch.tensor(x), torch.tensor(ei, dtype=torch.long),
+            edge_attr=None if ea is None else torch.tensor(ea),
+        )
+    jlayer = EGNNSparse(feats_dim=6, edge_attr_dim=e_attr, **jkw)
+    params = {"params": egnn_sparse_params_from_torch(tlayer)}
+    jout = jlayer.apply(
+        params, jnp.asarray(x), jnp.asarray(ei),
+        edge_attr=None if ea is None else jnp.asarray(ea),
+    )
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=atol,
+                               rtol=1e-8)
+
+
+@sparse_only
+def test_parity_sparse_basic():
+    _compare_sparse({}, {})
+
+
+@sparse_only
+def test_parity_sparse_fourier_edgeattr():
+    _compare_sparse(dict(fourier_features=4), dict(fourier_features=4),
+                    seed=1, e_attr=3)
+
+
+@sparse_only
+@pytest.mark.parametrize("aggr", ["add", "mean", "max"])
+def test_parity_sparse_aggr(aggr):
+    _compare_sparse(dict(aggr=aggr), dict(aggr=aggr), seed=2)
+
+
+@sparse_only
+def test_parity_sparse_norms_softedge():
+    _compare_sparse(
+        dict(norm_feats=True, norm_coors=True, soft_edge=1),
+        dict(norm_feats=True, norm_coors=True, soft_edge=1),
+        seed=3,
+    )
+
+
+@sparse_only
+def test_parity_sparse_update_flags():
+    _compare_sparse(dict(update_feats=False), dict(update_feats=False), seed=4)
+    _compare_sparse(dict(update_coors=False), dict(update_coors=False), seed=5)
