@@ -9,6 +9,7 @@ from .profiling import Roofline, annotate, chain_calls, measure_op, time_fn, tra
 from .port_weights import (
     egnn_network_params_from_torch,
     egnn_params_from_torch,
+    egnn_sparse_network_params_from_torch,
     egnn_sparse_params_from_torch,
 )
 from .rotations import rot, rot_y, rot_z
@@ -17,6 +18,7 @@ __all__ = [
     "rot",
     "egnn_params_from_torch",
     "egnn_network_params_from_torch",
+    "egnn_sparse_network_params_from_torch",
     "egnn_sparse_params_from_torch",
     "rot_y",
     "rot_z",

@@ -119,3 +119,18 @@ def egnn_network_params_from_torch(torch_net) -> Dict[str, Any]:
             }
             p[f"global_attn_{ind}"] = ga
     return p
+
+
+def egnn_sparse_network_params_from_torch(torch_net) -> Dict[str, Any]:
+    """Reference ``EGNN_Sparse_Network`` -> params dict for
+    egnn_tpu.EGNNSparseNetwork (embedding tables ``emb_i``/``edge_emb_i``,
+    per-layer ``mpnn_i`` from the reference's mpnn_layers,
+    egnn_pytorch_geometric.py:334-346)."""
+    p: Dict[str, Any] = {}
+    for i, emb in enumerate(torch_net.emb_layers):
+        p[f"emb_{i}"] = _t2j(emb.weight)
+    for i, emb in enumerate(torch_net.edge_emb_layers):
+        p[f"edge_emb_{i}"] = _t2j(emb.weight)
+    for i, layer in enumerate(torch_net.mpnn_layers):
+        p[f"mpnn_{i}"] = egnn_sparse_params_from_torch(layer)
+    return p

@@ -380,3 +380,50 @@ def test_parity_sparse_norms_softedge():
 def test_parity_sparse_update_flags():
     _compare_sparse(dict(update_feats=False), dict(update_feats=False), seed=4)
     _compare_sparse(dict(update_coors=False), dict(update_coors=False), seed=5)
+
+
+@sparse_only
+def test_parity_sparse_network_embeddings():
+    """EGNN_Sparse_Network with node + edge categorical embeddings (the
+    list-driven multi-embedding machinery, egnn_pytorch_geometric.py:334-346,
+    402-411) — activation parity with injected weights. Global attention is
+    excluded (broken in the reference, §2 #16) and recalc unset."""
+    from egnn_pytorch.egnn_pytorch_geometric import (
+        EGNN_Sparse_Network as TorchSparseNet)
+
+    from egnn_tpu import EGNNSparseNetwork
+    from egnn_tpu.utils.port_weights import (
+        egnn_sparse_network_params_from_torch)
+
+    torch.manual_seed(7)
+    rng = np.random.RandomState(7)
+    n, base_feats, e_cont = 20, 3, 2
+    kw = dict(n_layers=2, feats_dim=base_feats + 1, pos_dim=3,
+              edge_attr_dim=e_cont + 1, m_dim=16, fourier_features=2,
+              norm_feats=True, norm_coors=True,
+              embedding_nums=[6], embedding_dims=[5],
+              edge_embedding_nums=[4], edge_embedding_dims=[3])
+    tnet = TorchSparseNet(**kw)
+
+    coors = rng.randn(n, 3)
+    feats_cont = rng.randn(n, base_feats)
+    feats_tok = rng.randint(0, 6, size=(n, 1)).astype(np.float64)
+    x = np.concatenate([coors, feats_cont, feats_tok], axis=-1)
+    num_edges = 50
+    ei = rng.randint(0, n, size=(2, num_edges))
+    ea_cont = rng.randn(num_edges, e_cont)
+    ea_tok = rng.randint(0, 4, size=(num_edges, 1)).astype(np.float64)
+    ea = np.concatenate([ea_cont, ea_tok], axis=-1)
+    batch = np.zeros(n, dtype=np.int64)
+
+    with torch.no_grad():
+        tout = tnet(torch.tensor(x), torch.tensor(ei, dtype=torch.long),
+                    torch.tensor(batch), torch.tensor(ea))
+
+    jnet = EGNNSparseNetwork(**kw)
+    params = {"params": egnn_sparse_network_params_from_torch(tnet)}
+    jout = jnet.apply(params, jnp.asarray(x), jnp.asarray(ei),
+                      batch=jnp.asarray(batch, dtype=jnp.int32),
+                      edge_attr=jnp.asarray(ea))
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=1e-10,
+                               rtol=1e-8)
