@@ -7,6 +7,7 @@ from .distributed import (
 )
 from .mesh import dense_batch_sharding, make_mesh, sparse_node_sharding
 from .ring import ring_pairwise
+from .tp import make_tp_mesh, tp_param_sharding, tp_param_spec
 from .sparse_partition import (PartitionedEdges, partition_edges,
                                partition_uniform_edges)
 
@@ -22,5 +23,8 @@ __all__ = [
     "ring_pairwise",
     "PartitionedEdges",
     "partition_edges",
+    "make_tp_mesh",
+    "tp_param_sharding",
+    "tp_param_spec",
     "partition_uniform_edges",
 ]
