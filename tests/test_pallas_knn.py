@@ -131,3 +131,19 @@ class TestTiledKernel:
         ranking = nb.knn_ranking(nb.pairwise_geometry(coors)[1])
         _, ref_idx = jax.lax.top_k(-ranking, k)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+@pytest.mark.parametrize("c", [3, 5])
+def test_higher_dimension_coords(c):
+    """E(n) for n != 3 is a supported feature (reference
+    tests/test_equivariance.py:36-45); both kernels must rank c-dimensional
+    coordinates identically to the jnp path."""
+    from egnn_tpu.ops.pallas.knn import knn_select_pallas_tiled
+
+    coors, mask, adj = _random_case(99 + c, 2, 256, c, 8, True, False)
+    ref = _jnp_reference(coors, 8, valid_radius=float("inf"), mask=mask)
+    v1, i1 = knn_select_pallas(coors, 8, mask=mask, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref.indices))
+    v2, i2 = knn_select_pallas_tiled(coors, 8, mask=mask, interpret=True,
+                                     tj=128)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ref.indices))

@@ -427,3 +427,23 @@ def test_parity_sparse_network_embeddings():
                       edge_attr=jnp.asarray(ea))
     np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=1e-10,
                                rtol=1e-8)
+
+
+@sparse_only
+@pytest.mark.parametrize("seed", range(6))
+def test_parity_sparse_fuzzed_option_combinations(seed):
+    """Randomized sweeps over the EGNN_Sparse option surface vs the torch
+    reference (through the PyG stand-in) — any legal kwarg combination."""
+    rng = np.random.RandomState(2000 + seed)
+    e_attr = int(rng.choice([0, 2]))
+    opts = dict(
+        m_dim=int(rng.choice([8, 16])),
+        fourier_features=int(rng.choice([0, 2, 4])),
+        norm_feats=bool(rng.rand() < 0.5),
+        norm_coors=bool(rng.rand() < 0.5),
+        update_feats=True,
+        update_coors=bool(rng.rand() < 0.8),
+        soft_edge=int(rng.rand() < 0.5),
+        aggr=str(rng.choice(["add", "mean", "max"])),
+    )
+    _compare_sparse(opts, dict(opts), seed=seed, e_attr=e_attr)
