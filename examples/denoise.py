@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--metrics", type=str, default=None,
                     help="JSONL metrics path (parallel.MetricLogger)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--block", type=int, default=10,
+                    help="steps fused into one jitted lax.scan dispatch "
+                    "(remote-TPU runtimes cost ~10-100 ms per dispatch; "
+                    "blocking amortizes it)")
     args = ap.parse_args()
 
     import jax
@@ -90,29 +94,44 @@ def main():
     # loss-spike resilience: a non-finite update is skipped, loss reported
     # NaN. The guard re-reads the old state, so the inner step must not
     # donate; donation happens at the outer jit where XLA sees both uses.
-    step_fn = jax.jit(
-        finite_or_skip_step(make_denoise_train_step(net, masked_mse, donate=False)),
-        donate_argnums=(0,),
+    step_fn = finite_or_skip_step(
+        make_denoise_train_step(net, masked_mse, donate=False)
     )
-    gen = jax.jit(lambda k: synthetic_chain_batch(k, args.batch, args.nodes))
-    split = jax.jit(jax.random.split)
+
+    # Block of steps inside ONE jitted lax.scan: batch generation + train
+    # step fused, so a remote-TPU dispatch (~10-100 ms on tunneled runtimes)
+    # is paid once per block, not 3x per step.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+    def run_block(state, k, length):
+        def body(carry, _):
+            st, kk = carry
+            kk, kb = jax.random.split(kk)
+            b = synthetic_chain_batch(kb, args.batch, args.nodes)
+            st, loss = step_fn(
+                st, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
+            )
+            return (st, kk), loss
+        (state, k), losses = jax.lax.scan(body, (state, k), None, length=length)
+        return state, k, losses[-1]
+
     metrics = MetricLogger(args.metrics)
     edges_per_step = args.batch * args.nodes * args.knn * args.depth
 
     t0 = time.time()
-    for i in range(args.steps):
-        k_data, k_b = split(k_data)
-        b = gen(k_b)
-        state, loss = step_fn(
-            state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
-        )
-        if i % 10 == 0 or i == args.steps - 1:
-            loss_v = float(loss)
-            dt_i = time.time() - t0
-            metrics.log(i, loss=loss_v,
-                        edges_per_s=(i + 1) * edges_per_step / dt_i)
-            print(f"step {i:5d}  loss {loss_v:.4f}")
-        if mgr is not None and i > 0 and i % 100 == 0:
+    block = max(1, args.block)
+    done = 0
+    while done < args.steps:
+        length = min(block, args.steps - done)
+        state, k_data, loss = run_block(state, k_data, length)
+        done += length
+        loss_v = float(loss)  # fetch: forces execution, feeds metrics
+        dt_i = time.time() - t0
+        metrics.log(done - 1, loss=loss_v,
+                    edges_per_s=done * edges_per_step / dt_i)
+        print(f"step {done - 1:5d}  loss {loss_v:.4f}")
+        if mgr is not None and done % 100 == 0:
             mgr.save(int(state.step), state)
     jax.block_until_ready(state.params)
     dt = time.time() - t0
