@@ -42,6 +42,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: first run compiles (~30-60 s),
+    # later runs start in seconds (same setting the test suite uses)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
     import jax.numpy as jnp
 
     from egnn_tpu import EGNNNetwork
