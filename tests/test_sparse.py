@@ -343,3 +343,29 @@ def test_node_mask_isolates_padding_from_layernorm():
     o2 = net.apply(p, x2, es.edge_index, edge_mask=es.mask)
     assert np.abs(np.asarray(o2[:valid_n, 3:]) -
                   np.asarray(o1[:valid_n, 3:])).max() > 1e-6
+
+
+def test_sparse_higher_dimension_coords():
+    """pos_dim=5: E(n) for n != 3 on the sparse path (the dense analog is the
+    reference's test_higher_dimension, tests/test_equivariance.py:36-45) —
+    shape contract + equivariance under a 5-D rotation."""
+    n, d, k, c = 20, 6, 4, 5
+    key = jax.random.PRNGKey(0)
+    coors = jax.random.normal(key, (n, c))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (n, d))
+    x = jnp.concatenate([coors, feats], -1)
+    es = knn_graph(coors, k)
+    layer = EGNNSparse(feats_dim=d, pos_dim=c, fourier_features=2,
+                       norm_feats=True)
+    p = layer.init(jax.random.PRNGKey(2), x, es.edge_index, edge_mask=es.mask)
+    out = layer.apply(p, x, es.edge_index, edge_mask=es.mask)
+    assert out.shape == x.shape
+    # random 5-D rotation via QR
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(3), (c, c)))
+    T = jax.random.normal(jax.random.PRNGKey(4), (c,))
+    x2 = jnp.concatenate([coors @ q + T, feats], -1)
+    out2 = layer.apply(p, x2, es.edge_index, edge_mask=es.mask)
+    np.testing.assert_allclose(np.asarray(out2[:, c:]), np.asarray(out[:, c:]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out2[:, :c]),
+                               np.asarray(out[:, :c] @ q + T), atol=1e-9)
