@@ -234,6 +234,13 @@ def knn_select_pallas(
 _TJ = 4096  # j-tile width: bigger tiles -> fewer merges. Measured at
 # n=16384 k=8 (v5e): tj=512 28 ms, 1024 15 ms, 2048 8.4 ms, 4096 5.7 ms
 # (XLA dist+top_k fallback: 229 ms). tj=8192 exceeds the 16 MB scoped VMEM.
+#
+# Full-band vs tiled head-to-head (v5e, us; winner varies non-monotonically
+# with (n, k) — dispatch keeps full-band wherever it fits, which wins most
+# configs; revisit only with fresh measurements):
+#   n=1024 k=8: 41/47      n=1024 k=16: 83/42     n=2048 k=16: 177/192
+#   n=4096 k=8: 253/206    n=4096 k=16: 463/392   n=8192 k=8: 866/1237
+#   n=8192 k=16: 1608/2354 n=16384 k=8: 3291/5632
 
 
 def supports_pallas_knn_tiled(n: int, k: int, backend=None) -> bool:
