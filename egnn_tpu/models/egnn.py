@@ -149,6 +149,17 @@ class EGNN(nn.Module):
             coors_w2, coors_b2 = self._linear("coors_mlp_1", self.m_dim * 4, 1)
         drop = nn.Dropout(rate=self.dropout)
 
+        def node_update(m_i, mp=lambda v: v):
+            """Shared feature-update tail for all three compute paths
+            (streamed / fused-kNN / materialized): LayerNorm? -> concat with
+            the pooled message -> node MLP -> residual (egnn_pytorch.py:
+            335-337). ``mp`` is the mixed-precision cast (identity on the
+            f32-only streamed/fused paths)."""
+            normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
+            h = jnp.concatenate([mp(normed), m_i.astype(mp(normed).dtype)], axis=-1)
+            h = _silu(drop(h @ mp(node_w1) + mp(node_b1), deterministic=deterministic))
+            return (h @ mp(node_w2) + mp(node_b2)).astype(feats.dtype) + feats
+
         # Factorized first-layer weight blocks, concat order [f_i, f_j, dist, edges]
         # (egnn_pytorch.py:282-285).
         w_i = edge_w1[:d]
@@ -218,10 +229,7 @@ class EGNN(nn.Module):
                         m_i = res.m_i / n_total
                 else:
                     m_i = res.m_i
-                normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
-                h = jnp.concatenate([normed, m_i], axis=-1)
-                h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
-                node_out = h @ node_w2 + node_b2 + feats
+                node_out = node_update(m_i)
             else:
                 node_out = feats
             return node_out, coors_out
@@ -315,12 +323,7 @@ class EGNN(nn.Module):
                         m_i = m_sum / num_nearest
                 else:
                     m_i = m_sum
-                normed = (
-                    layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
-                )
-                hmlp = jnp.concatenate([normed, m_i], axis=-1)
-                hmlp = _silu(drop(hmlp @ node_w1 + node_b1, deterministic=deterministic))
-                node_out = hmlp @ node_w2 + node_b2 + feats
+                node_out = node_update(m_i)
                 return node_out, coors_out
 
             # one gather for coordinates AND mask (narrow gathers are
@@ -422,10 +425,7 @@ class EGNN(nn.Module):
             else:  # sum
                 m_i = m_ij.sum(axis=-2)
 
-            normed = layer_norm(feats, nn_gamma, nn_beta) if self.norm_feats else feats
-            h = jnp.concatenate([mp(normed), m_i.astype(mp(normed).dtype)], axis=-1)
-            h = _silu(drop(h @ mp(node_w1) + mp(node_b1), deterministic=deterministic))
-            node_out = (h @ mp(node_w2) + mp(node_b2)).astype(feats.dtype) + feats
+            node_out = node_update(m_i, mp)
         else:
             node_out = feats
 

@@ -37,6 +37,7 @@ def knn_graph(
     k: int,
     node_mask: Optional[jnp.ndarray] = None,
     loop: bool = False,
+    batch: Optional[jnp.ndarray] = None,
 ) -> EdgeSet:
     """Build a k-nearest-neighbor edge set from (N, c) coordinates.
 
@@ -44,6 +45,10 @@ def knn_graph(
     (squared Euclidean ranking, matching the dense path's kNN semantics —
     egnn_pytorch.py:233,258). Returns E = N*k edges with receiver-major order
     (all edges of node 0 first), which makes segment reductions contiguous.
+
+    ``batch``: optional (N,) graph ids — neighbors are restricted to the
+    same graph (torch-cluster's ``knn_graph(batch=...)`` semantics), so one
+    call builds a whole packed multi-graph batch without cross-graph edges.
     """
     n = coors.shape[0]
     rel = coors[:, None, :] - coors[None, :, :]
@@ -54,6 +59,9 @@ def knn_graph(
     if node_mask is not None:
         pair_ok = node_mask[:, None] & node_mask[None, :]
         dist = jnp.where(pair_ok, dist, big)
+    if batch is not None:
+        same_graph = batch[:, None] == batch[None, :]
+        dist = jnp.where(same_graph, dist, big)
     neg_vals, idx = jax.lax.top_k(-dist, k)  # (n, k) smallest distances
     valid = (-neg_vals) < big
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)

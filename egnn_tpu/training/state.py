@@ -49,7 +49,9 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask=None) -> jnp.ndarray
     if mask is None:
         return err.mean()
     m = mask[..., None].astype(err.dtype)
-    return (err * m).sum() / jnp.clip((m * jnp.ones_like(err)).sum(), min=1.0)
+    # denominator from the (b, n) mask directly — no err-shaped buffer
+    den = mask.sum().astype(err.dtype) * pred.shape[-1]
+    return (err * m).sum() / jnp.clip(den, min=1.0)
 
 
 def make_adam(learning_rate: float = 1e-3, grad_accum: int = 1,

@@ -91,7 +91,7 @@ class MessagePassing(nn.Module):
             out = inputs.new_full(shape, float("-inf"))
             idx = index.view(-1, *([1] * (inputs.dim() - 1))).expand_as(inputs)
             out.scatter_reduce_(0, idx, inputs, reduce="amax", include_self=True)
-            return torch.where(torch.isinf(out), torch.zeros((), dtype=out.dtype), out)
+            return torch.where(torch.isinf(out), out.new_zeros(()), out)
         raise ValueError(f"unknown aggr {self.aggr!r}")
 
     def update(self, inputs, **kwargs):
@@ -114,14 +114,14 @@ class GraphLayerNorm(nn.Module):
             batch = torch.zeros(x.size(0), dtype=torch.long, device=x.device)
         num_graphs = int(batch.max()) + 1
         d = x.size(-1)
-        count = torch.zeros(num_graphs, dtype=x.dtype)
-        count.index_add_(0, batch, torch.ones(x.size(0), dtype=x.dtype))
+        count = x.new_zeros(num_graphs)
+        count.index_add_(0, batch, x.new_ones(x.size(0)))
         count = (count * d).clamp(min=1)
-        total = torch.zeros(num_graphs, dtype=x.dtype)
+        total = x.new_zeros(num_graphs)
         total.index_add_(0, batch, x.sum(-1))
         mean = (total / count)[batch].unsqueeze(-1)
         centered = x - mean
-        sq = torch.zeros(num_graphs, dtype=x.dtype)
+        sq = x.new_zeros(num_graphs)
         sq.index_add_(0, batch, (centered ** 2).sum(-1))
         var = (sq / count)[batch].unsqueeze(-1)
         out = centered / (var + self.eps).sqrt()
