@@ -105,3 +105,40 @@ def test_chain_adjacency_matches_reference_example():
     for i in range(4):
         expect[i, i + 1] = expect[i + 1, i] = True
     np.testing.assert_array_equal(adj, expect)
+
+
+def test_prefetch_loader_sharded_delivery():
+    """PrefetchLoader with a NamedSharding: the worker thread's device_put
+    must deliver batches already sharded over the mesh (the multichip input
+    pipeline — host graph build lands directly in the right shards)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from egnn_tpu.parallel import make_mesh
+    from egnn_tpu.training.data import PrefetchLoader
+
+    mesh = make_mesh(data=1, graph=8)
+    sharding = NamedSharding(mesh, P("graph"))
+    rng = np.random.RandomState(0)
+
+    loader = PrefetchLoader(lambda: rng.randn(64, 4), num_batches=3,
+                            sharding=sharding)
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 3
+    for b in batches:
+        assert b.shape == (64, 4)
+        assert b.sharding == sharding
+        assert len(b.addressable_shards) == 8
+
+
+def test_prefetch_loader_worker_error_surfaces():
+    from egnn_tpu.training.data import PrefetchLoader
+
+    def boom():
+        raise ValueError("bad batch")
+
+    loader = PrefetchLoader(boom, num_batches=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
+    loader.close()
