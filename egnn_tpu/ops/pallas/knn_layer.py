@@ -61,7 +61,7 @@ def supports_fused_knn_layer(
         backend = jax.default_backend()
     n_pad = -(-n // _LANE) * _LANE
     return (
-        backend not in ("cpu",)
+        backend == "tpu"
         and n >= _LANE
         and 1 <= k <= 64
         and n_pad * hidden * 4 <= 4 * 1024 * 1024  # proj_j block resident

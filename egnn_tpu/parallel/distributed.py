@@ -91,33 +91,70 @@ def sync_global_devices(tag: str = "barrier") -> None:
 
 
 class MetricLogger:
-    """Append-only JSONL metrics, coordinator-only, flushed per write.
+    """Append-only JSONL metrics, coordinator-only.
+
+    Host scalars are written (and flushed) immediately, so a killed run keeps
+    its history. Device arrays are NOT fetched per call — ``float(device_arr)``
+    would block the training thread on every step (the measurement trap
+    CLAUDE.md warns about). Instead records holding device values are buffered
+    and resolved with one batched ``jax.device_get`` every ``flush_every``
+    records (and on ``flush()``/``close()``), so the sync cost is amortized
+    ~``flush_every``× and the step loop never stalls on a metric.
 
     Records wall time and step so post-hoc edges/s / scaling-efficiency
     curves can be derived; pair with utils/profiling.py for device-side
     rooflines.
     """
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, flush_every: int = 32):
         self._path = path
         self._f = None
         self._t0 = time.time()
+        self._flush_every = max(1, int(flush_every))
+        self._pending: list = []  # records still holding device arrays
         if path is not None and is_coordinator():
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._f = open(path, "a", buffering=1)
 
+    @staticmethod
+    def _is_device(v: Any) -> bool:
+        return isinstance(v, jax.Array) and getattr(v, "ndim", 1) == 0
+
     def log(self, step: int, **metrics: Any) -> Mapping[str, Any]:
-        rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
+        rec: dict = {"step": int(step), "t": round(time.time() - self._t0, 3)}
+        deferred = False
         for k, v in metrics.items():
-            try:
-                rec[k] = float(v)
-            except (TypeError, ValueError):
-                rec[k] = v
-        if self._f is not None:
+            if self._is_device(v):
+                rec[k] = v  # resolved later in one batched device_get
+                deferred = True
+            else:
+                try:
+                    rec[k] = float(v)
+                except (TypeError, ValueError):
+                    rec[k] = v
+        if deferred:
+            self._pending.append(rec)
+            if len(self._pending) >= self._flush_every:
+                self.flush()
+        elif self._f is not None:
             self._f.write(json.dumps(rec) + "\n")
         return rec
 
+    def flush(self) -> None:
+        """Resolve buffered device values (one batched fetch) and write them."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get(pending)  # one sync for the whole buffer
+        for rec in fetched:
+            for k, v in rec.items():
+                if hasattr(v, "item"):
+                    rec[k] = float(v)
+            if self._f is not None:
+                self._f.write(json.dumps(rec) + "\n")
+
     def close(self) -> None:
+        self.flush()
         if self._f is not None:
             self._f.close()
             self._f = None

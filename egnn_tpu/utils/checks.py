@@ -82,7 +82,11 @@ def finite_or_skip_step(step_fn: Callable) -> Callable:
     @functools.wraps(step_fn)
     def wrapper(state, *args, **kwargs):
         new_state, loss = step_fn(state, *args, **kwargs)
-        ok = tree_all_finite(new_state.params) & jnp.isfinite(loss)
+        ok = (
+            tree_all_finite(new_state.params)
+            & tree_all_finite(getattr(new_state, "opt_state", ()))
+            & jnp.isfinite(loss)
+        )
         keep = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new, old
         )

@@ -132,5 +132,16 @@ def egnn_sparse_network_params_from_torch(torch_net) -> Dict[str, Any]:
     for i, emb in enumerate(torch_net.edge_emb_layers):
         p[f"edge_emb_{i}"] = _t2j(emb.weight)
     for i, layer in enumerate(torch_net.mpnn_layers):
+        if not hasattr(layer, "edge_mlp"):
+            # global_linear_attn_every>0 nets store ModuleList([EGNN_Sparse,
+            # attn]) entries (egnn_pytorch_geometric.py:360-364); the
+            # reference's sparse global-attn forward is itself broken, so
+            # these checkpoints carry no usable attention weights to port.
+            raise ValueError(
+                "mpnn_layers[%d] is not a plain EGNN_Sparse (a ModuleList "
+                "from global_linear_attn_every>0?); sparse global-attention "
+                "reference checkpoints are not portable — port the plain "
+                "layers via entry[0] manually if that is what you want" % i
+            )
         p[f"mpnn_{i}"] = egnn_sparse_params_from_torch(layer)
     return p

@@ -78,7 +78,11 @@ def test_metric_logger(tmp_path):
     ml = MetricLogger(str(path))
     ml.log(0, loss=1.5, edges_per_s=1e6)
     ml.log(1, loss=jnp.asarray(0.5))
-    ml.close()
+    # device-array records are buffered (no per-step device sync), host
+    # scalars are written immediately
+    assert len(ml._pending) == 1
+    assert len(path.read_text().splitlines()) == 1
+    ml.close()  # close flushes the deferred records via one batched fetch
     recs = [json.loads(l) for l in path.read_text().splitlines()]
     assert recs[0]["loss"] == 1.5 and recs[1]["step"] == 1
     assert recs[1]["loss"] == 0.5
