@@ -326,20 +326,24 @@ class EGNN(nn.Module):
                 node_out = node_update(m_i)
                 return node_out, coors_out
 
-            # one gather for coordinates AND mask (narrow gathers are
-            # latency-bound on TPU: a separate 1-wide mask gather costs as
-            # much as the whole (c+1)-wide one)
+            # ONE gather for coordinates AND mask AND features (gathers are
+            # index/latency-bound on TPU, not width-bound: a separate narrow
+            # gather costs nearly as much as the combined wide one — measured
+            # 2x on the n=16384 layer fwd+bwd; the backward's scatter-add
+            # combines the same way)
             c_sp = coors.shape[-1]
             mask_j = None
+            parts = [coors]
             if mask is not None:
-                cm = jnp.concatenate(
-                    [coors, mask[..., None].astype(coors.dtype)], axis=-1
-                )
-                g = gather_nodes(cm, nbhd.indices)     # (b,n,k,c+1)
-                coors_j = g[..., :c_sp]
-                mask_j = g[..., c_sp] > 0.5
-            else:
-                coors_j = gather_nodes(coors, nbhd.indices)  # (b,n,k,c)
+                parts.append(mask[..., None].astype(coors.dtype))
+            parts.append(feats.astype(coors.dtype))
+            g = gather_nodes(jnp.concatenate(parts, axis=-1), nbhd.indices)
+            coors_j = g[..., :c_sp]
+            off = c_sp
+            if mask is not None:
+                mask_j = g[..., off] > 0.5
+                off += 1
+            feats_j_gathered = g[..., off:].astype(feats.dtype)  # (b,n,k,d)
             rel_coors = coors[:, :, None, :] - coors_j
             rel_dist = jnp.sum(rel_coors**2, axis=-1)
             if edges is not None:
@@ -362,13 +366,12 @@ class EGNN(nn.Module):
         )
         proj_i = mp(feats) @ mp(w_i)  # (b, n, hidden)
         if use_nearest:
-            # Gather the dim-wide features and project per-pair instead of
-            # gathering the hidden-wide projection: identical math, but the
-            # gather (and its scatter-add transpose in the backward) moves
-            # hidden/dim (~4x) less data; the extra (b,n,k,dim)@(dim,hidden)
-            # matmul is nearly free on the MXU.
-            feats_j = gather_nodes(feats, nbhd.indices)  # (b,n,k,d)
-            proj_j = mp(feats_j) @ mp(w_j)
+            # Project the (already gathered) dim-wide features per-pair
+            # instead of gathering the hidden-wide projection: identical
+            # math, but the gather (and its scatter-add transpose in the
+            # backward) moves hidden/dim (~4x) less data; the extra
+            # (b,n,k,dim)@(dim,hidden) matmul is nearly free on the MXU.
+            proj_j = mp(feats_j_gathered) @ mp(w_j)
         else:
             proj_j = (mp(feats) @ mp(w_j))[:, None, :, :]  # (b,1,n,h)
 
@@ -394,20 +397,22 @@ class EGNN(nn.Module):
         # ---- coordinate update (equivariant) ----
         if self.update_coors:
             cw = _silu(drop(m_ij @ mp(coors_w1) + mp(coors_b1), deterministic=deterministic))
-            # back to full precision BEFORE weighting geometry
-            coor_weights = (cw @ mp(coors_w2) + mp(coors_b2))[..., 0].astype(
+            # back to full precision BEFORE weighting geometry; keep the
+            # trailing singleton (a squeeze + einsum costs an extra layout
+            # pass vs a broadcast multiply-sum)
+            coor_weights = (cw @ mp(coors_w2) + mp(coors_b2)).astype(
                 coors.dtype
-            )  # (b, n, j)
+            )  # (b, n, j, 1)
 
             rel_coors_n = coors_norm(rel_coors, cn_scale) if self.norm_coors else rel_coors
 
             if pair_mask is not None:
-                coor_weights = jnp.where(pair_mask, coor_weights, 0.0)
+                coor_weights = jnp.where(pair_mask[..., None], coor_weights, 0.0)
             if self.coor_weights_clamp_value is not None:
                 c = self.coor_weights_clamp_value
                 coor_weights = jnp.clip(coor_weights, -c, c)
 
-            coors_out = jnp.einsum("bij,bijc->bic", coor_weights, rel_coors_n) + coors
+            coors_out = jnp.sum(coor_weights * rel_coors_n, axis=-2) + coors
         else:
             coors_out = coors
 
