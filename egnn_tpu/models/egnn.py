@@ -77,7 +77,7 @@ class EGNN(nn.Module):
     # True/False = force. Streaming computes pairwise messages as a j-chunked
     # scan with rematerialization — O(n·chunk) memory instead of O(n^2)
     # (ops/pairwise_stream.py). Only applies to the no-kNN, no-dense-edges
-    # path; dropout>0 in training falls back to the materialized path.
+    # path; dropout>0 streams too (per-chunk RNG via fold_in).
     stream_pairwise: Optional[bool] = None
     pairwise_chunk: Optional[int] = None
     # ring_axis: mesh axis name for ring-rotated node-sharded all-pairs
@@ -94,8 +94,8 @@ class EGNN(nn.Module):
     # gate, coordinate-weight MLP, node MLP) — typically jnp.bfloat16 on TPU.
     # Parameters stay f32; GEOMETRY (rel_coors, distances, CoorsNorm, the
     # coordinate update itself) always runs f32 so equivariance quality is
-    # unchanged. Applies to the materialized kNN/all-pairs branch; the
-    # streamed/ring paths run f32.
+    # unchanged. Applies to the materialized kNN/all-pairs branch AND the
+    # streamed/ring paths (cross-chunk accumulators stay f32 there).
     compute_dtype: Any = None
 
     def _linear(self, name, d_in, d_out):
@@ -167,16 +167,20 @@ class EGNN(nn.Module):
         w_d = edge_w1[2 * d : 2 * d + dist_dim]
         w_e = edge_w1[2 * d + dist_dim :]
 
-        # ---- streamed all-pairs path (no (n, n) HBM intermediates) ----
-        can_stream = (
-            not use_nearest
-            and edges is None
-            and (self.dropout == 0.0 or deterministic)
+        # mp: mixed-precision cast for the message path (no-op by default)
+        mp = (
+            (lambda x: x.astype(self.compute_dtype))
+            if self.compute_dtype is not None
+            else (lambda x: x)
         )
+        dropout_active = self.dropout > 0.0 and not deterministic
+
+        # ---- streamed all-pairs path (no (n, n) HBM intermediates) ----
+        can_stream = not use_nearest and edges is None
         do_stream = self.ring_axis is not None or (
             self.stream_pairwise if self.stream_pairwise is not None else n >= 1024
         )
-        assert self.ring_axis is None or can_stream, (
+        assert self.ring_axis is None or (can_stream and not dropout_active), (
             "ring_axis requires the all-pairs streamed configuration: no kNN/"
             "only_sparse_neighbors, no dense edges, and dropout inactive — "
             "otherwise the layer would silently compute shard-local "
@@ -204,21 +208,29 @@ class EGNN(nn.Module):
                 soft_edges=self.soft_edges,
                 norm_coors=self.norm_coors,
                 coor_weights_clamp_value=self.coor_weights_clamp_value,
+                compute_dtype=self.compute_dtype,
             )
+            proj_i_s = mp(feats) @ mp(w_i) + mp(edge_b1)
+            proj_j_s = mp(feats) @ mp(w_j)
             n_total = n
             if self.ring_axis is not None:
                 from ..parallel.ring import ring_pairwise
 
                 res = ring_pairwise(
-                    coors, feats @ w_i + edge_b1, feats @ w_j, pp, mask=mask,
+                    coors, proj_i_s, proj_j_s, pp, mask=mask,
                     axis_name=self.ring_axis, **pair_opts,
                 )
                 # inside shard_map n is the local shard size
                 n_total = n * jax.lax.axis_size(self.ring_axis)
             else:
                 res = streamed_pairwise(
-                    coors, feats @ w_i + edge_b1, feats @ w_j, pp, mask=mask,
-                    chunk=self.pairwise_chunk, **pair_opts,
+                    coors, proj_i_s, proj_j_s, pp, mask=mask,
+                    chunk=self.pairwise_chunk,
+                    dropout_rate=self.dropout if dropout_active else 0.0,
+                    dropout_rng=(
+                        self.make_rng("dropout") if dropout_active else None
+                    ),
+                    **pair_opts,
                 )
             coors_out = coors + res.coors_delta if self.update_coors else coors
             if self.update_feats:
@@ -229,7 +241,7 @@ class EGNN(nn.Module):
                         m_i = res.m_i / n_total
                 else:
                     m_i = res.m_i
-                node_out = node_update(m_i)
+                node_out = node_update(m_i, mp)
             else:
                 node_out = feats
             return node_out, coors_out
@@ -257,14 +269,6 @@ class EGNN(nn.Module):
             adj_b = None
             if adj_mat is not None:
                 adj_b = adj_mat if adj_mat.ndim == 3 else jnp.broadcast_to(adj_mat, (b, n, n))
-            # Fused Pallas kernel on TPU; jnp fallback elsewhere. The O(n^2)
-            # distance pass lives only inside the selection (stop_gradient);
-            # differentiable geometry is recomputed on the (b, n, k) pairs so
-            # the autodiff graph never holds an (n, n) tensor.
-            nbhd = nb.knn_select(
-                coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b
-            )
-
             # ---- fully fused pair pipeline (ops/pallas/knn_layer.py) ----
             from ..ops.pallas.knn_layer import (
                 fused_knn_messages,
@@ -284,6 +288,12 @@ class EGNN(nn.Module):
                 and supports_fused_knn_layer(n, num_nearest, hidden)
             )
             if use_fused:
+                # Selection only (the fused kernel gathers in-kernel).
+                # Pallas kernels on TPU, jnp fallback elsewhere; stop-grad,
+                # so the O(n^2) pass stays out of the autodiff graph.
+                nbhd = nb.knn_select(
+                    coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b
+                )
                 if mask is not None:
                     mask_j = gather_bool(mask, nbhd.indices)
                     pv = (mask[:, :, None] & mask_j) & nbhd.valid
@@ -326,18 +336,20 @@ class EGNN(nn.Module):
                 node_out = node_update(m_i)
                 return node_out, coors_out
 
-            # ONE gather for coordinates AND mask AND features (gathers are
-            # index/latency-bound on TPU, not width-bound: a separate narrow
-            # gather costs nearly as much as the combined wide one — measured
-            # 2x on the n=16384 layer fwd+bwd; the backward's scatter-add
-            # combines the same way)
+            # Selection FUSED with the payload gather: one combined
+            # [coors | mask | feats] gather (gathers are index/latency-bound
+            # on TPU, not width-bound — one wide gather beats separate
+            # narrow ones ~2x on the n=16384 layer fwd+bwd; the backward's
+            # scatter-add combines the same way). On TPU without adjacency
+            # this runs the packed-candidate kernel + exact refine
+            # (ops/pallas/knn.py); selection is stop-gradient, the gather is
+            # differentiable, and the O(n^2) pass never enters autodiff.
+            nbhd, g = nb.knn_select_gather(
+                coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b,
+                payload=feats,
+            )
             c_sp = coors.shape[-1]
             mask_j = None
-            parts = [coors]
-            if mask is not None:
-                parts.append(mask[..., None].astype(coors.dtype))
-            parts.append(feats.astype(coors.dtype))
-            g = gather_nodes(jnp.concatenate(parts, axis=-1), nbhd.indices)
             coors_j = g[..., :c_sp]
             off = c_sp
             if mask is not None:
@@ -358,12 +370,6 @@ class EGNN(nn.Module):
             dist_feats = rel_dist[..., None]
 
         # ---- factorized edge MLP layer 1 ----
-        # mp: mixed-precision cast for the message path (no-op by default)
-        mp = (
-            (lambda x: x.astype(self.compute_dtype))
-            if self.compute_dtype is not None
-            else (lambda x: x)
-        )
         proj_i = mp(feats) @ mp(w_i)  # (b, n, hidden)
         if use_nearest:
             # Project the (already gathered) dim-wide features per-pair

@@ -106,21 +106,156 @@ def knn_select(
     """End-to-end neighbor selection from coordinates: pairwise squared
     distance -> ranking fills -> static-k selection (egnn_pytorch.py:232-260).
 
-    On TPU this dispatches to the fused Pallas kernel (ops/pallas/knn.py),
-    which streams j-tiles through VMEM and never materializes the (b, n, n)
-    ranking in HBM. Elsewhere (and for tiny graphs) it falls back to the jnp
-    path. Selection is wrapped in stop_gradient: indices are integral and the
-    ranking values only feed the <=radius validity comparison, so the O(n^2)
-    distance pass stays out of the autodiff graph entirely — callers recompute
-    rel geometry differentiably on the selected (b, n, k) pairs.
+    On TPU this dispatches to the fused Pallas kernels (ops/pallas/knn.py);
+    elsewhere (and for tiny graphs) it falls back to the jnp path. See
+    ``knn_select_gather`` for the dispatch details and the fused payload
+    gather that the EGNN layer uses.
     """
-    from .pallas.knn import supports_pallas_knn_shapes
+    nbhd, _ = knn_select_gather(
+        coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_mat,
+        backend=backend,
+    )
+    return nbhd
 
-    coors = jax.lax.stop_gradient(coors)
-    n = coors.shape[1]
+
+# Candidate slack for the packed-key selection path: candidates extracted
+# beyond k so the exact refine provably covers the true top-k whenever
+# keys[kc-1] > keys[k-1] (see ops/pallas/knn.py packed-kernel notes).
+CANDIDATE_SLACK = 4
+
+# experiment flag: disable the exactness fallback (NEVER ship False)
+_PACKED_FALLBACK = True
+
+# MEASURED OUTCOME (v5e, n=16384, k=16, the flagship large-n regime): the
+# packed candidate kernel alone is ~1.6x faster than the exact full-band
+# kernel (4.4-4.8 vs 6.0-7.7 ms), but the exact XLA refine gives the win
+# back: the kc-wide gather (+25% rows on an index-bound ~2.1 ms gather), the
+# (b,n,k,kc,w) where+sum compaction (fwd+bwd), and rank+top_k add ~3.4 ms —
+# a measured net LOSS of ~2 ms/layer on the full layer fwd+bwd (13.6 vs
+# 11.2 ms; an optimization_barrier on the compacted block does not help).
+# The packed path therefore ships as OPT-IN (backend="packed"), fully
+# tested; "auto" uses the exact kernels. Do not re-promote without a layer-
+# level fwd+bwd measurement showing a win (benchmarks/ab_layer.py).
+
+
+def knn_select_gather(
+    coors: jnp.ndarray,
+    num_nearest: int,
+    valid_radius: float,
+    mask: Optional[jnp.ndarray] = None,
+    adj_mat: Optional[jnp.ndarray] = None,
+    payload: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> tuple[Neighborhood, Optional[jnp.ndarray]]:
+    """Neighbor selection with an optional FUSED payload gather.
+
+    Returns ``(nbhd, gathered)``. When ``payload`` (b, n, w) is given,
+    ``gathered`` is the (b, n, k, c [+1 if mask] + w) table rows
+    ``[coors | mask | payload]`` at the selected neighbors — the single
+    combined gather the EGNN layer needs (gathers are index-bound on TPU, so
+    one wide gather beats separate narrow ones ~2x at n=16k). The payload
+    gather is differentiable (gradients scatter back through gather_nodes'
+    custom VJP); selection itself is stop-gradient.
+
+    Dispatch:
+    - ``backend="auto"`` on TPU: the exact full-band / j-tiled kernels.
+    - ``backend="packed"`` (opt-in; measured net loss vs exact on the full
+      layer at n=16k — see the module note above): the PACKED-key candidate
+      kernel (3-op rounds) + exact f32 re-rank of kc = k + CANDIDATE_SLACK
+      candidates reusing this same gather. Rows whose truncated-key ties
+      could hide a true neighbor are detected exactly
+      (keys[kc-1] == keys[k-1]) and the whole call falls back to the exact
+      kernel via lax.cond — results are always exact, tie order identical
+      to jax.lax.top_k.
+    - CPU/GPU: the jnp reference path (f64-capable, bit-parity with tests).
+    """
+    from .pallas.knn import (
+        knn_candidates_packed,
+        knn_select_pallas,
+        knn_select_pallas_tiled,
+        supports_pallas_knn_packed,
+        supports_pallas_knn_shapes,
+    )
+    from .core import gather_nodes
+
+    coors_sg = jax.lax.stop_gradient(coors)
+    b, n, c = coors.shape
+    k = num_nearest
+
+    def build_table():
+        parts = [coors]
+        if mask is not None:
+            parts.append(mask[..., None].astype(coors.dtype))
+        if payload is not None:
+            parts.append(payload.astype(coors.dtype))
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else coors
 
     on_tpu = jax.default_backend() == "tpu"  # Mosaic kernels are TPU-only
-    kernel_ok = n >= 128 and 1 <= num_nearest <= 128
+    kernel_ok = n >= 128 and 1 <= k <= 128
+    kc = k + CANDIDATE_SLACK
+    use_packed = backend == "packed" and (
+        (on_tpu or interpret) and adj_mat is None
+        and kernel_ok and n >= 2 * kc
+        and (interpret or supports_pallas_knn_packed(n, kc))
+    )
+
+    if use_packed:
+        keys, cols = knn_candidates_packed(
+            coors_sg, kc, mask=mask, interpret=interpret)
+        # Coverage certificate: with fewer than k elements strictly below the
+        # true k-th key, keys[k-1] >= key(k-th value); a strictly larger last
+        # candidate key then proves every element with key <= keys[k-1] was
+        # extracted. Any failing row -> exact-kernel fallback for the call.
+        ok = jnp.all(keys[..., kc - 1] > keys[..., k - 1])
+
+        def _exact_cands(cc):
+            vals_e, idx_e = knn_select_pallas(
+                coors_sg, k, mask=mask, interpret=interpret)
+            pad = jnp.full(idx_e.shape[:-1] + (kc - k,), n, jnp.int32)
+            return jnp.concatenate([idx_e, pad], axis=-1)
+
+        if _PACKED_FALLBACK:
+            cols = jax.lax.cond(ok, lambda cc: cc, _exact_cands, cols)
+
+        # One wide gather of [coors | mask? | payload?] at the kc candidates.
+        table = build_table()
+        safe_cols = jnp.minimum(cols, n - 1)
+        g = gather_nodes(table, safe_cols)           # (b, n, kc, tw), diff
+        gj = jax.lax.stop_gradient(g)
+        cj = gj[..., :c].astype(jnp.float32)
+        ci = coors_sg[:, :, None, :].astype(jnp.float32)
+        rank = jnp.sum((ci - cj) ** 2, axis=-1)      # (b, n, kc) f32
+        if mask is not None:
+            pair_ok = mask[:, :, None] & (gj[..., c] > 0.5)
+            rank = jnp.where(pair_ok, rank, jnp.float32(MASKED_RANK_FILL))
+        rank = jnp.where(cols >= n, jnp.float32("inf"), rank)
+        neg, order = jax.lax.top_k(-rank, k)
+        vals = (-neg).astype(coors.dtype)
+        # Slot-select the k winners out of the kc candidates with exact
+        # elementwise where+sum reductions over the small kc axis (measured:
+        # beats both take_along_axis ~5x and a HIGHEST-precision one-hot
+        # einsum on the (b, n, kc, w) block; bf16-pass matmuls would round
+        # the gathered geometry, so a DEFAULT-precision einsum is not
+        # admissible here).
+        oh = order[..., None] == jnp.arange(kc)[None, None, None, :]  # (b,n,k,kc)
+        idx = jnp.max(
+            jnp.where(oh, safe_cols[:, :, None, :], 0), axis=-1
+        ).astype(jnp.int32)
+        valid = vals <= jnp.asarray(valid_radius, vals.dtype)
+        nbhd = Neighborhood(indices=idx, ranking=vals, valid=valid)
+        if payload is None:
+            return nbhd, None
+        gathered = jnp.sum(
+            jnp.where(oh[..., None], g[:, :, None, :, :], jnp.zeros((), g.dtype)),
+            axis=3,
+        )                                            # (b, n, k, tw)
+        # Materialize the compacted block once: without the barrier XLA fuses
+        # the kc-axis reduction into every downstream consumer (rel, proj_j,
+        # mask slice, ...), multiplying its cost several-fold in the layer.
+        gathered = jax.lax.optimization_barrier(gathered)
+        return nbhd, gathered
+
     use_pallas = backend == "pallas" or (
         backend == "auto" and on_tpu and kernel_ok and supports_pallas_knn_shapes(n)
     )
@@ -132,17 +267,21 @@ def knn_select(
         and not supports_pallas_knn_shapes(n)
     )
     if use_pallas or use_tiled:
-        from .pallas.knn import knn_select_pallas, knn_select_pallas_tiled
-
         fn = knn_select_pallas if use_pallas else knn_select_pallas_tiled
-        vals, indices = fn(coors, num_nearest, mask=mask, adj_mat=adj_mat)
+        vals, indices = fn(coors_sg, num_nearest, mask=mask, adj_mat=adj_mat,
+                           interpret=interpret)
         vals = vals.astype(coors.dtype)
         valid = vals <= jnp.asarray(valid_radius, vals.dtype)
-        return Neighborhood(indices=indices, ranking=vals, valid=valid)
+        nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)
+    else:
+        _, rel_dist = pairwise_geometry(coors_sg)
+        ranking = knn_ranking(rel_dist, mask=mask, adj_mat=adj_mat)
+        nbhd = select_neighborhood(ranking, num_nearest, valid_radius)
 
-    _, rel_dist = pairwise_geometry(coors)
-    ranking = knn_ranking(rel_dist, mask=mask, adj_mat=adj_mat)
-    return select_neighborhood(ranking, num_nearest, valid_radius)
+    gathered = None
+    if payload is not None:
+        gathered = gather_nodes(build_table(), nbhd.indices)
+    return nbhd, gathered
 
 
 def expand_adjacency_degrees(

@@ -15,9 +15,12 @@ and ``proj_j``; only the rank-(2F+1) distance term stays pairwise.
 
 Semantics parity with the reference's all-pairs branch (no kNN, no explicit
 dense ``edges`` tensor): fourier features, soft-edge gate, CoorsNorm, clamp,
-pair mask, sum/mean pooling. Dropout inside the pair MLP is not supported in
-streaming mode (the caller falls back to the materialized path when
-``dropout > 0`` and not deterministic).
+pair mask, sum/mean pooling, dropout (per-chunk RNG derived by fold_in from
+one base key, so dropout>0 training keeps the O(n*chunk) memory path), and
+``compute_dtype`` mixed precision (the message MLP runs in e.g. bf16 while
+ALL geometry — rel_coors, distances, CoorsNorm, coordinate weighting and the
+cross-chunk accumulators — stays f32, the same contract as the materialized
+path in models/egnn.py).
 """
 from __future__ import annotations
 
@@ -78,6 +81,9 @@ def pairwise_block(
     norm_coors: bool = False,
     coor_weights_clamp_value: Optional[float] = None,
     coors_norm_eps: float = 1e-8,
+    compute_dtype=None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ):
     """One (i-block x j-block) of the dense pairwise pipeline: distance
     features -> edge MLP -> [gate] -> coordinate weights + message pooling.
@@ -85,9 +91,32 @@ def pairwise_block(
     Returns partial sums ``(m_sum (b,ni,m), coors_delta (b,ni,c), count
     (b,ni))`` to be accumulated over j-blocks by the caller (the j-chunk scan
     below, or the ring steps in parallel/ring.py). Math and masking order
-    mirror the reference's all-pairs branch (egnn_pytorch.py:282-333)."""
+    mirror the reference's all-pairs branch (egnn_pytorch.py:282-333).
+
+    ``compute_dtype`` casts the message MLP (h1, m_ij, gate, coordinate-weight
+    MLP) like models/egnn.py's materialized branch; geometry stays f32 and
+    coordinate weights are cast back before weighting rel_coors. With
+    ``dropout_rate > 0`` and a ``dropout_rng``, inverted dropout is applied at
+    the reference positions (after edge_mlp layer 1 and coors_mlp layer 1,
+    egnn_pytorch.py:178-208)."""
     dtype = proj_i.dtype
     b, ni, c = coors_i.shape
+    mp = (
+        (lambda x: x.astype(compute_dtype))
+        if compute_dtype is not None
+        else (lambda x: x)
+    )
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        r1, r2 = jax.random.split(dropout_rng)
+        keep_p = 1.0 - dropout_rate
+
+        def drop(x, r):
+            keep = jax.random.bernoulli(r, keep_p, x.shape)
+            return jnp.where(keep, x / jnp.asarray(keep_p, x.dtype),
+                             jnp.zeros((), x.dtype))
+    else:
+        r1 = r2 = None
+        drop = lambda x, r: x
 
     rel = coors_i[:, :, None, :] - coors_j[:, None, :, :]   # (b, ni, nj, c)
     dist = jnp.sum(rel * rel, axis=-1)                      # (b, ni, nj)
@@ -97,11 +126,13 @@ def pairwise_block(
     else:
         dist_feats = dist[..., None]
 
-    h1 = proj_i[:, :, None, :] + proj_j[:, None, :, :] + dist_feats @ params.w_d
-    m_ij = _silu(_silu(h1) @ params.edge_w2 + params.edge_b2)   # (b, ni, nj, m)
+    h1 = (mp(proj_i)[:, :, None, :] + mp(proj_j)[:, None, :, :]
+          + mp(dist_feats) @ mp(params.w_d))
+    m_ij = _silu(drop(h1, r1))
+    m_ij = _silu(m_ij @ mp(params.edge_w2) + mp(params.edge_b2))  # (b,ni,nj,m)
 
     if soft_edges:
-        m_ij = m_ij * jax.nn.sigmoid(m_ij @ params.gate_w + params.gate_b)
+        m_ij = m_ij * jax.nn.sigmoid(m_ij @ mp(params.gate_w) + mp(params.gate_b))
 
     m_dim = params.edge_w2.shape[-1]
     m_sum = jnp.zeros((b, ni, m_dim), dtype)
@@ -109,17 +140,21 @@ def pairwise_block(
     count = jnp.zeros((b, ni), dtype)
 
     if update_coors:
-        cw = _silu(m_ij @ params.coors_w1 + params.coors_b1)
-        w_ij = (cw @ params.coors_w2 + params.coors_b2)[..., 0]   # (b, ni, nj)
+        cw = _silu(drop(m_ij @ mp(params.coors_w1) + mp(params.coors_b1), r2))
+        # back to full precision BEFORE weighting geometry (models/egnn.py)
+        w_ij = (cw @ mp(params.coors_w2) + mp(params.coors_b2))[..., 0].astype(
+            coors_i.dtype
+        )   # (b, ni, nj)
         if norm_coors:
             norm = jnp.sqrt(
-                jnp.clip(dist, min=coors_norm_eps * coors_norm_eps)
+                jnp.clip(dist, min=jnp.asarray(coors_norm_eps * coors_norm_eps,
+                                               dist.dtype))
             )[..., None]
-            rel_n = rel / norm * params.cn_scale
+            rel_n = rel / norm * params.cn_scale.astype(rel.dtype)
         else:
             rel_n = rel
         if pair_valid is not None:
-            w_ij = jnp.where(pair_valid, w_ij, jnp.zeros((), dtype))
+            w_ij = jnp.where(pair_valid, w_ij, jnp.zeros((), w_ij.dtype))
         if coor_weights_clamp_value is not None:
             cval = coor_weights_clamp_value
             w_ij = jnp.clip(w_ij, -cval, cval)
@@ -127,11 +162,14 @@ def pairwise_block(
 
     if update_feats:
         if pair_valid is not None:
-            m_ij = jnp.where(pair_valid[..., None], m_ij, jnp.zeros((), dtype))
+            m_ij = jnp.where(pair_valid[..., None], m_ij,
+                             jnp.zeros((), m_ij.dtype))
             count = pair_valid.sum(axis=-1).astype(dtype)
         else:
             count = jnp.full((b, ni), m_ij.shape[-2], dtype)
-        m_sum = m_ij.sum(axis=-2)
+        # cross-chunk accumulators stay full precision regardless of
+        # compute_dtype (bf16 running sums over many chunks drift)
+        m_sum = m_ij.sum(axis=-2).astype(dtype)
 
     return m_sum, coors_delta, count
 
@@ -151,12 +189,20 @@ def streamed_pairwise(
     coor_weights_clamp_value: Optional[float] = None,
     chunk: Optional[int] = None,
     coors_norm_eps: float = 1e-8,
+    compute_dtype=None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> PairwiseResult:
     """All-pairs messages + aggregation without (n, n) HBM intermediates.
 
     Returns sum-pooled messages (mean pooling: divide by ``pair_count`` —
     reference masked-mean at egnn_pytorch.py:324-333), and the equivariant
     coordinate delta Σ_j w_ij·rel_ij (egnn_pytorch.py:315).
+
+    Dropout: each j-chunk derives its key as fold_in(dropout_rng, chunk), so
+    a fixed base key is fully deterministic while masks stay independent
+    across chunks — dropout>0 training keeps O(n*chunk) memory (no fallback
+    to the materialized path).
     """
     b, n, c = coors.shape
     hidden = proj_i.shape[-1]
@@ -191,6 +237,11 @@ def streamed_pairwise(
             mj = jax.lax.dynamic_slice(mask_j_p, (0, j0), (b, cj))
             pv = pv & (mask[:, :, None] & mj[:, None, :])
 
+        rng_c = (
+            jax.random.fold_in(dropout_rng, ci)
+            if (dropout_rate > 0.0 and dropout_rng is not None)
+            else None
+        )
         m_sum, c_delta, cnt = pairwise_block(
             coors, proj_i, coors_j, pj, pv, params,
             fourier_features=fourier_features,
@@ -200,6 +251,9 @@ def streamed_pairwise(
             norm_coors=norm_coors,
             coor_weights_clamp_value=coor_weights_clamp_value,
             coors_norm_eps=coors_norm_eps,
+            compute_dtype=compute_dtype,
+            dropout_rate=dropout_rate,
+            dropout_rng=rng_c,
         )
         return (acc_m + m_sum, acc_c + c_delta, acc_cnt + cnt), None
 

@@ -411,3 +411,145 @@ def knn_select_pallas_tiled(
         coors, mask, adj_mat, k=k, interpret=interpret,
         has_mask=mask is not None, has_adj=adj_mat is not None, tj=tj,
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-key candidate kernel: 3-op extraction rounds + exact XLA refine
+# ---------------------------------------------------------------------------
+#
+# The extraction rounds above cost ~6 VPU ops/element/round (min-reduce,
+# equality, select, argmin-reduce, evict compare, evict select) because ties
+# force a separate first-argmin pass. This variant makes every band value
+# UNIQUE by construction: the f32 ranking's top 18 bits (a monotonic
+# truncation — bitcast of a non-negative float is order-preserving) are
+# packed with the 14-bit column index into one int32:
+#
+#   packed = (bitcast(ranking) & ~0x3FFF) | col
+#
+# int32 < on packed values IS lexicographic (key18, col) order, so each round
+# is just min + evict-by-equality (3 ops) and the winning column falls out of
+# the minimum itself — no argmin pass, no index bookkeeping. The price: key18
+# truncates the mantissa to 9 bits, so candidates are ordered by a COARSENED
+# ranking. Exactness is restored OUTSIDE the kernel (ops/neighbors.py):
+# extract kc = k + slack candidates, re-rank them with exact f32 values, and
+# keep the top k. That refinement is provably exact whenever the candidate
+# list covers every element whose key <= the k-th candidate's key, which
+# reduces to the cheap per-row test  keys[kc-1] > keys[k-1]  (fewer than k
+# elements can have key < key(true k-th value) by monotonicity); rows that
+# fail (pathological key-tie pileups, e.g. >kc equidistant points or huge
+# masked fills) trigger a lax.cond fallback to the exact kernels above.
+# Measured (v5e, n=16384, k=16, kc=20): 3.6 ms vs 6.0 ms full-band exact.
+#
+# Adjacency fills are NOT supported here (their -1/0 fill ties are the
+# pathological case by design — the exact kernels keep that path).
+
+_COL_BITS = 14
+_COL_MASK = (1 << _COL_BITS) - 1
+_PACKED_MAX = 2**31 - 1  # plain int: a jnp scalar here would be captured
+# by the kernel as an external constant, which pallas_call rejects
+
+
+def supports_pallas_knn_packed(n: int, kc: int, backend=None) -> bool:
+    """Full-band VMEM budget, TPU-only, and the column index must fit the
+    packed low bits (n <= 2^14)."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and _LANE <= n <= (1 << _COL_BITS)
+        and 1 <= kc <= _LANE
+        and supports_pallas_knn_shapes(n)
+    )
+
+
+def _knn_packed_kernel(coors_ref, coors_t_ref, mask_ref,
+                       out_keys_ref, out_cols_ref,
+                       *, n: int, n_real: int, kc: int, c: int, ti: int,
+                       has_mask: bool):
+    i0 = pl.program_id(1) * ti
+    col = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 1)
+
+    ranking = jnp.zeros((ti, n), jnp.float32)
+    for cc in range(c):
+        xi_c = coors_ref[0, pl.ds(i0, ti), cc].reshape(ti, 1)
+        xj_c = coors_t_ref[0, cc, :].reshape(1, n)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+    if has_mask:
+        mi = mask_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
+        mj = mask_ref[0, 0, :].reshape(1, n)
+        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
+
+    bits = jax.lax.bitcast_convert_type(ranking, jnp.int32)
+    packed = (bits & jnp.int32(-(1 << _COL_BITS))) | col
+    pmax = jnp.int32(_PACKED_MAX)
+    if n != n_real:
+        packed = jnp.where(col >= n_real, pmax, packed)
+
+    outs = []
+    for _ in range(kc):
+        m = jnp.min(packed, axis=1, keepdims=True)
+        outs.append(m)
+        packed = jnp.where(packed == m, pmax, packed)
+    pk = jnp.concatenate(outs, axis=1)                        # (ti, kc)
+    out_cols_ref[0, :, :] = pk & jnp.int32(_COL_MASK)
+    out_keys_ref[0, :, :] = jax.lax.shift_right_logical(pk, jnp.int32(_COL_BITS))
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "interpret", "has_mask"))
+def _knn_packed_call(coors, mask, *, kc, interpret, has_mask):
+    coors32, coors_t, mask_i32, _adj, b, n_real, n, c = _prep_knn_inputs(
+        coors, mask, None, has_mask, False)
+    ti = _pick_ti(n)
+    grid = (b, n // ti)
+    kernel = functools.partial(
+        _knn_packed_kernel, n=n, n_real=n_real, kc=kc, c=c, ti=ti,
+        has_mask=has_mask,
+    )
+    keys, cols = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, mask_i32.shape[2]),
+                lambda ib, ii: (ib, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, kc), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, kc), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, kc), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, kc), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3 * b * n * n * c + 3 * b * n * n * kc),
+            bytes_accessed=int(b * n * (4 * c + 8 * kc)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coors32, coors_t, mask_i32)
+    return keys[:, :n_real], cols[:, :n_real]
+
+
+def knn_candidates_packed(
+    coors: jnp.ndarray,
+    kc: int,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+):
+    """Top-kc candidates under the COARSENED (18-bit key) ranking.
+
+    Returns (keys, cols): (b, n, kc) int32 truncated ranking keys (ascending,
+    possibly tied) and candidate columns (within equal keys, ascending — the
+    exact lax.top_k tie order). Candidates provably contain the exact top-k
+    for every row where keys[kc-1] > keys[k-1]; the caller checks and falls
+    back (ops/neighbors.py:knn_select_gather).
+    """
+    return _knn_packed_call(
+        coors, mask, kc=kc, interpret=interpret, has_mask=mask is not None,
+    )

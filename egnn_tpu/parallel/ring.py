@@ -41,6 +41,7 @@ def ring_pairwise(
     norm_coors: bool = False,
     coor_weights_clamp_value: Optional[float] = None,
     coors_norm_eps: float = 1e-8,
+    compute_dtype=None,
 ) -> PairwiseResult:
     """All-pairs messages for the local i-shard against every j-shard.
 
@@ -78,6 +79,7 @@ def ring_pairwise(
             norm_coors=norm_coors,
             coor_weights_clamp_value=coor_weights_clamp_value,
             coors_norm_eps=coors_norm_eps,
+            compute_dtype=compute_dtype,
         )
         return (acc_m + m_sum, acc_c + c_delta, acc_cnt + cnt)
 

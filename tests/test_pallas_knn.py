@@ -147,3 +147,84 @@ def test_higher_dimension_coords(c):
     v2, i2 = knn_select_pallas_tiled(coors, 8, mask=mask, interpret=True,
                                      tj=128)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(ref.indices))
+
+
+# ---------------------------------------------------------------------------
+# packed-key candidate kernel + exact refine (knn_select_gather)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("n,k", [(128, 8), (256, 16)])
+def test_packed_gather_matches_jnp(with_mask, n, k):
+    """Random float coords (ties measure-zero): the packed path must
+    reproduce the jnp reference exactly — indices, ranking values, validity
+    — and the fused payload gather must equal a plain post-hoc gather."""
+    coors, mask, _ = _random_case(
+        hash(("packed", with_mask, n, k)) % 2**31, 2, n, 3, k, with_mask,
+        False, integer_coords=False,
+    )
+    payload = jnp.asarray(
+        np.random.RandomState(7).randn(2, n, 5).astype(np.float32))
+    nbhd, g = nb.knn_select_gather(
+        coors, k, valid_radius=2.5, mask=mask, payload=payload,
+        backend="packed", interpret=True,
+    )
+    ref = _jnp_reference(coors, k, valid_radius=2.5, mask=mask)
+    np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
+    np.testing.assert_allclose(
+        np.asarray(nbhd.ranking), np.asarray(ref.ranking), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nbhd.valid), np.asarray(ref.valid))
+    width = 3 + (1 if with_mask else 0) + 5
+    assert g.shape == (2, n, k, width)
+    np.testing.assert_allclose(
+        np.asarray(g[..., -5:]),
+        np.asarray(jax.vmap(lambda p, i: p[i])(payload, nbhd.indices)),
+        rtol=0, atol=0,
+    )
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_tie_pileup_falls_back_exactly(with_mask):
+    """Integer-grid coordinates create massive distance-tie groups that
+    defeat the truncated-key coverage certificate; the lax.cond fallback
+    must kick in and reproduce the exact kernel's output bit-for-bit."""
+    n, k = 128, 8
+    rng = np.random.RandomState(3)
+    # many duplicated points -> many exactly-equal distances
+    base = rng.randint(-2, 3, size=(1, 32, 3)).astype(np.float32)
+    coors = jnp.asarray(np.tile(base, (1, 4, 1)))
+    mask = jnp.asarray(rng.rand(1, n) > 0.3) if with_mask else None
+    nbhd, _ = nb.knn_select_gather(
+        coors, k, valid_radius=float("inf"), mask=mask,
+        backend="packed", interpret=True,
+    )
+    ref = _jnp_reference(coors, k, valid_radius=float("inf"), mask=mask)
+    np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
+    np.testing.assert_allclose(
+        np.asarray(nbhd.ranking), np.asarray(ref.ranking), rtol=0, atol=0)
+
+
+def test_packed_gather_payload_gradients():
+    """Payload and coordinate gradients flow through the fused gather;
+    selection stays stop-gradient."""
+    n, k = 128, 8
+    rng = np.random.RandomState(11)
+    coors = jnp.asarray(rng.randn(1, n, 3).astype(np.float32))
+    payload = jnp.asarray(rng.randn(1, n, 4).astype(np.float32))
+
+    def loss_packed(c, p):
+        nbhd, g = nb.knn_select_gather(
+            c, k, float("inf"), payload=p, backend="packed", interpret=True)
+        return (g ** 2).sum()
+
+    def loss_ref(c, p):
+        nbhd = _jnp_reference(c, k, float("inf"))
+        table = jnp.concatenate([c, p], axis=-1)
+        g = jax.vmap(lambda t, i: t[i])(table, nbhd.indices)
+        return (g ** 2).sum()
+
+    gc, gp = jax.grad(loss_packed, argnums=(0, 1))(coors, payload)
+    rc, rp = jax.grad(loss_ref, argnums=(0, 1))(coors, payload)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(rp), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), rtol=1e-5, atol=1e-5)

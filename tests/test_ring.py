@@ -118,3 +118,37 @@ def test_ring_train_step_matches_unsharded():
         jax.tree_util.tree_leaves(state_ring.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-10)
+
+
+def test_ring_bf16_matches_streamed_bf16():
+    """compute_dtype on the ring path (VERDICT r1 item 3): ring bf16 must
+    track the single-device streamed bf16 result (summation order only)."""
+    d, b, n = 8, 2, 32
+    feats, coors, mask = _layer_inputs(2, b, n, d)
+    f32 = lambda x: x.astype(jnp.float32)
+    feats, coors = f32(feats), f32(coors)
+
+    ref_layer = EGNN(dim=d, stream_pairwise=True, pairwise_chunk=8,
+                     norm_coors=True, compute_dtype=jnp.bfloat16)
+    params = jax.tree.map(
+        f32, ref_layer.init(jax.random.PRNGKey(1), feats, coors, mask=mask))
+    f_ref, c_ref = jax.jit(ref_layer.apply)(params, feats, coors, mask=mask)
+
+    mesh = make_mesh(data=1, graph=8)
+    ring_layer = EGNN(dim=d, ring_axis="graph", norm_coors=True,
+                      compute_dtype=jnp.bfloat16)
+
+    def fwd(p, f, co, m):
+        return ring_layer.apply(p, f, co, mask=m)
+    fwd = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(None, "graph", None), P(None, "graph", None),
+                  P(None, "graph")),
+        out_specs=(P(None, "graph", None), P(None, "graph", None)),
+        check_vma=False,
+    )
+    f_ring, c_ring = jax.jit(fwd)(params, feats, coors, mask)
+    np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_ring),
+                               rtol=0, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_ring),
+                               rtol=0, atol=3e-2)
