@@ -1,0 +1,142 @@
+"""Device-side graph builders (ops/graph.py) vs a dense reference.
+
+Round-2 rework: knn_graph/radius_graph_capped route through
+ops/neighbors.knn_select (the Pallas kernels on TPU, jnp here), so the
+builders no longer materialize (N, N) on the kernel path. These tests pin the
+builder semantics against an independent dense construction: neighbor SETS,
+ranking order, self-exclusion, masking, and the packed-batch graph_size
+layout.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egnn_tpu.ops.graph import EdgeSet, knn_graph, radius_graph_capped
+
+
+def _dense_knn_reference(coors, k, node_mask=None, loop=False, batch=None):
+    """Independent (N, N) construction mirroring the pre-rework builder."""
+    n = coors.shape[0]
+    rel = coors[:, None, :] - coors[None, :, :]
+    dist = np.array(jnp.sum(rel * rel, axis=-1))
+    big = 1e10
+    if not loop:
+        dist[np.eye(n, dtype=bool)] = big
+    if node_mask is not None:
+        nm = np.asarray(node_mask)
+        dist[~nm[:, None] | ~nm[None, :]] = big
+    if batch is not None:
+        bt = np.asarray(batch)
+        dist[bt[:, None] != bt[None, :]] = big
+    idx = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(dist, idx, axis=1)
+    valid = vals < big
+    if node_mask is not None:
+        valid &= np.asarray(node_mask)[:, None]
+    return idx, vals, valid
+
+
+def _edges_to_rowsets(es: EdgeSet, n, k):
+    s = np.asarray(es.senders).reshape(n, k)
+    m = np.asarray(es.mask).reshape(n, k)
+    return [set(s[i][m[i]].tolist()) for i in range(n)]
+
+
+@pytest.mark.parametrize("loop", [False, True])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_knn_graph_matches_dense_reference(loop, with_mask):
+    rng = np.random.RandomState(0)
+    n, k = 150, 6
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 3)
+    node_mask = jnp.asarray(rng.rand(n) > 0.2) if with_mask else None
+    es = knn_graph(coors, k, node_mask=node_mask, loop=loop)
+    ridx, rvals, rvalid = _dense_knn_reference(coors, k, node_mask, loop)
+    got = _edges_to_rowsets(es, n, k)
+    for i in range(n):
+        want = set(ridx[i][rvalid[i]].tolist())
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+    # receiver-major invariant
+    r = np.asarray(es.receivers)
+    assert (np.diff(np.where(np.asarray(es.mask), r, r)[np.asarray(es.mask)]) >= 0).all()
+
+
+def test_knn_graph_duplicate_points_self_exclusion():
+    """Duplicate coordinates create zero-distance ties; self must still be
+    excluded and each row keeps k non-self neighbors."""
+    base = np.random.RandomState(1).randn(32, 3).astype(np.float32)
+    coors = jnp.asarray(np.tile(base, (5, 1)))  # every point 5x duplicated
+    n, k = coors.shape[0], 4
+    es = knn_graph(coors, k, loop=False)
+    s = np.asarray(es.senders).reshape(n, k)
+    m = np.asarray(es.mask).reshape(n, k)
+    assert m.all()
+    for i in range(n):
+        assert i not in s[i].tolist()
+        # the 4 nearest non-self are the other 4 duplicates (distance 0)
+        assert set(s[i].tolist()) == {j for j in range(i % 32, n, 32) if j != i}
+
+
+def test_knn_graph_graph_size_packed_batch():
+    """graph_size packed layout == batch-vector jnp path (sets per row)."""
+    rng = np.random.RandomState(2)
+    g, m, k = 3, 50, 5
+    n = g * m
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    batch = jnp.repeat(jnp.arange(g), m)
+    node_mask = jnp.asarray(rng.rand(n) > 0.15)
+    es_batch = knn_graph(coors, k, node_mask=node_mask, batch=batch)
+    es_packed = knn_graph(coors, k, node_mask=node_mask, batch=batch,
+                          graph_size=m)
+    got_b = _edges_to_rowsets(es_batch, n, k)
+    got_p = _edges_to_rowsets(es_packed, n, k)
+    for i in range(n):
+        assert got_b[i] == got_p[i], f"row {i}"
+    # no cross-graph edges
+    s = np.asarray(es_packed.senders)
+    r = np.asarray(es_packed.receivers)
+    msk = np.asarray(es_packed.mask)
+    bt = np.asarray(batch)
+    assert (bt[s[msk]] == bt[r[msk]]).all()
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_radius_graph_capped_semantics(loop):
+    """Per-row cap semantics: every in-radius pair present when under the
+    cap; over-cap rows keep the closest; nothing beyond the radius."""
+    rng = np.random.RandomState(3)
+    n, cap, radius = 128, 8, 1.2
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    es = radius_graph_capped(coors, radius, max_num_neighbors=cap, loop=loop)
+    s = np.asarray(es.senders).reshape(n, cap)
+    msk = np.asarray(es.mask).reshape(n, cap)
+    c = np.asarray(coors)
+    d = ((c[:, None] - c[None, :]) ** 2).sum(-1)
+    for i in range(n):
+        inr = set(np.where(d[i] <= radius ** 2)[0].tolist())
+        if not loop:
+            inr.discard(i)
+        got = set(s[i][msk[i]].tolist())
+        if len(inr) <= cap:
+            assert got == inr, f"row {i}"
+        else:
+            want = set(sorted(inr, key=lambda j: (d[i, j], j))[:cap])
+            assert got == want, f"row {i}"
+
+
+def test_knn_graph_segment_ready_for_sparse_layer():
+    """The builder output feeds EGNNSparse unchanged (uniform degree,
+    receiver-major)."""
+    from egnn_tpu import EGNNSparse
+
+    rng = np.random.RandomState(4)
+    n, k, fd = 64, 6, 8
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(n, fd).astype(np.float32))
+    es = knn_graph(coors, k)
+    layer = EGNNSparse(feats_dim=fd)
+    x = jnp.concatenate([coors, feats], axis=-1)
+    params = layer.init(jax.random.PRNGKey(0), x, es.edge_index,
+                        edge_mask=es.mask)
+    out = layer.apply(params, x, es.edge_index, edge_mask=es.mask)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
