@@ -295,8 +295,14 @@ class AttentionSparse(nn.Module):
         batch: jnp.ndarray,     # (N,) graph ids
         num_graphs: int,
         node_mask: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
     ) -> jnp.ndarray:
-        """Tokens attend over their graph's nodes -> (G, g, dim)."""
+        """Tokens attend over their graph's nodes -> (G, g, dim).
+
+        ``axis_name``: node rows block-sharded over a mesh axis — the
+        segment-softmax statistics and the induced-token aggregation are
+        psum'd so every shard sees the global attention result (queries are
+        replicated)."""
         h, dh = self.heads, self.dim_head
         wq, wkv, wo, bo = self.wq, self.wkv, self.wo, self.bo
         G, g, _ = queries.shape
@@ -313,10 +319,14 @@ class AttentionSparse(nn.Module):
         logits = jnp.einsum("nghd,nhd->ngh", qn, k) * (dh**-0.5)
         flat = logits.reshape(n, g * h)
         m = None if node_mask is None else node_mask[:, None] & jnp.ones_like(flat, bool)
-        attn = segment_softmax(flat, batch, num_graphs, mask=m)  # (N, g*h)
+        attn = segment_softmax(flat, batch, num_graphs, mask=m,
+                               axis_name=axis_name)  # (N, g*h)
         attn = attn.reshape(n, g, h)
         ctx = jnp.einsum("ngh,nhd->nghd", attn, v).reshape(n, g * h * dh)
-        induced = segment_sum(ctx, batch, num_graphs).reshape(G, g, h * dh)
+        induced = segment_sum(ctx, batch, num_graphs)
+        if axis_name is not None:
+            induced = jax.lax.psum(induced, axis_name)
+        induced = induced.reshape(G, g, h * dh)
         return induced @ wo + bo
 
     def nodes_to_queries(
@@ -353,6 +363,11 @@ class GlobalLinearAttentionSparse(nn.Module):
     dim: int
     heads: int = 8
     dim_head: int = 64
+    # Mesh axis of the block-sharded node set (parallel/sparse_partition.py
+    # layout): per-graph LayerNorm stats, the token->node segment softmax and
+    # the induced aggregation all psum over it, so the sharded result matches
+    # the unsharded one (nodes_to_queries is purely local).
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -370,11 +385,14 @@ class GlobalLinearAttentionSparse(nn.Module):
         b_q = self.param("norm_queries_beta", inits.zeros_init, (d,))
 
         res_x, res_queries = x, queries
-        xn = graph_layer_norm(x, batch, num_graphs, g_seq, b_seq, node_mask=node_mask)
+        xn = graph_layer_norm(x, batch, num_graphs, g_seq, b_seq,
+                              node_mask=node_mask, axis_name=self.axis_name)
         qn = layer_norm(queries, g_q, b_q)
 
         attn = AttentionSparse(d, self.heads, self.dim_head, name="attn1")
-        induced = attn.queries_to_nodes(qn, xn, batch, num_graphs, node_mask=node_mask)
+        induced = attn.queries_to_nodes(qn, xn, batch, num_graphs,
+                                        node_mask=node_mask,
+                                        axis_name=self.axis_name)
         attn2 = AttentionSparse(d, self.heads, self.dim_head, name="attn2")
         out = attn2.nodes_to_queries(xn, induced, batch)
 
@@ -388,7 +406,8 @@ class GlobalLinearAttentionSparse(nn.Module):
         w2 = self.param("ff_w2", inits.xavier_normal_init, (d * 4, d))
         b2 = self.param("ff_b2", inits.zeros_init, (d,))
 
-        x_norm = graph_layer_norm(x, batch, num_graphs, g_ff, b_ff, node_mask=node_mask)
+        x_norm = graph_layer_norm(x, batch, num_graphs, g_ff, b_ff,
+                                  node_mask=node_mask, axis_name=self.axis_name)
         x = jax.nn.gelu(x_norm @ w1 + b1, approximate=False) @ w2 + b2 + x_norm
         return x, queries
 
@@ -430,8 +449,9 @@ class EGNNSparseNetwork(nn.Module):
     num_global_tokens: int = 4
     recalc: int = 0
     # Edge-partitioned multi-device layout (see EGNNSparse.shard_axis and
-    # parallel/sparse_partition.py). Incompatible with global attention
-    # (whose cross-graph softmax would need additional collectives).
+    # parallel/sparse_partition.py). Global attention works sharded too: its
+    # segment-softmax statistics, induced-token aggregation and per-graph
+    # LayerNorm stats psum over this axis (round-2 item 6).
     shard_axis: Optional[str] = None
     # Static receiver degree of a receiver-major edge layout (see
     # EGNNSparse.uniform_degree): scatter-free aggregation for kNN-built
@@ -469,9 +489,6 @@ class EGNNSparseNetwork(nn.Module):
         ]
 
         has_global_attn = self.global_linear_attn_every > 0
-        assert not (has_global_attn and self.shard_axis is not None), (
-            "shard_axis is incompatible with global_linear_attn_every > 0"
-        )
         if has_global_attn:
             tokens = self.param(
                 "global_tokens", inits.unit_normal_init,
@@ -503,6 +520,7 @@ class EGNNSparseNetwork(nn.Module):
                     dim=feats_dim,
                     heads=self.global_linear_attn_heads,
                     dim_head=self.global_linear_attn_dim_head,
+                    axis_name=self.shard_axis,
                     name=f"global_attn_{i}",
                 )(feats_part, global_tokens, batch_ids, num_graphs,
                   node_mask=node_mask)

@@ -108,18 +108,34 @@ def segment_softmax(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Numerically-stable softmax within each segment (for sparse attention)."""
+    """Numerically-stable softmax within each segment (for sparse attention).
+
+    ``axis_name``: when the packed node set is block-sharded over a mesh axis
+    (parallel/sparse_partition.py layout), the per-segment max and the
+    normalizer are combined across shards (pmax/psum over ICI), so every
+    shard's rows are normalized by the GLOBAL per-graph statistics — the
+    segmented analog of a sharded softmax."""
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
     if mask is not None:
         logits = jnp.where(mask, logits, neg_inf)
-    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    # The max shift only stabilizes the exp — softmax is invariant to it, so
+    # its gradient is exactly zero; stop_gradient also sidesteps pmax having
+    # no differentiation rule on the sharded path.
+    seg_max = jax.lax.stop_gradient(
+        jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
+    )
+    if axis_name is not None:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isneginf(seg_max), jnp.zeros((), logits.dtype), seg_max)
     shifted = logits - seg_max[segment_ids]
     exp = jnp.exp(shifted)
     if mask is not None:
         exp = jnp.where(mask, exp, jnp.zeros((), exp.dtype))
     denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
     return exp / jnp.clip(denom[segment_ids], min=jnp.finfo(exp.dtype).tiny)
 
 

@@ -223,3 +223,57 @@ def test_partitioned_uniform_degree_matches_unsharded():
                       pe.edge_attr, batch)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_global_attention_matches_unsharded():
+    """Round-2 item 6: EGNNSparseNetwork with global_linear_attn_every>0 now
+    works under shard_axis — the segment-softmax/induced-token/LayerNorm
+    statistics psum over the mesh axis and must reproduce the unsharded
+    network (up to summation order)."""
+    from egnn_tpu import EGNNSparseNetwork
+
+    shards, num_graphs = 8, 2
+    n, d = 64, 6
+    x, batch, es, edge_attr = _graph_case(3, n=n, d=d, num_graphs=num_graphs)
+    node_mask = jax.random.uniform(jax.random.PRNGKey(9), (n,)) > 0.2
+
+    common = dict(n_layers=2, feats_dim=d, edge_attr_dim=2,
+                  fourier_features=2, norm_feats=True, norm_coors=True,
+                  global_linear_attn_every=1, global_linear_attn_heads=2,
+                  global_linear_attn_dim_head=8, num_global_tokens=3)
+    net = EGNNSparseNetwork(**common)
+    params = net.init(
+        jax.random.PRNGKey(1), x, es.edge_index, batch=batch,
+        edge_attr=edge_attr, edge_mask=es.mask, num_graphs=num_graphs,
+        node_mask=node_mask,
+    )
+    ref = jax.jit(lambda p: net.apply(
+        p, x, es.edge_index, batch=batch, edge_attr=edge_attr,
+        edge_mask=es.mask, num_graphs=num_graphs, node_mask=node_mask,
+    ))(params)
+
+    pe = partition_edges(es.senders, es.receivers, n, shards,
+                         edge_attr=edge_attr, edge_mask=es.mask)
+    sharded = EGNNSparseNetwork(shard_axis="graph", **common)
+    mesh = make_mesh(data=1, graph=shards)
+
+    def apply_shard(p, xx, snd, rcv, msk, ea, bi, nm):
+        ei = jnp.stack([snd, rcv], axis=0)
+        return sharded.apply(
+            p, xx, ei, batch=bi, edge_attr=ea, edge_mask=msk,
+            num_graphs=num_graphs, node_mask=nm,
+        )
+
+    apply_shard = jax.shard_map(
+        apply_shard, mesh=mesh,
+        in_specs=(P(), P("graph"), P("graph"), P("graph"), P("graph"),
+                  P("graph"), P("graph"), P("graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    out = jax.jit(apply_shard)(
+        params, x, pe.senders, pe.receivers, pe.mask, pe.edge_attr, batch,
+        node_mask,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)
