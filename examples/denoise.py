@@ -36,6 +36,15 @@ def main():
                     help="steps fused into one jitted lax.scan dispatch "
                     "(remote-TPU runtimes cost ~10-100 ms per dispatch; "
                     "blocking amortizes it)")
+    ap.add_argument("--data", type=str, default=None,
+                    help="backbone dataset file (npz/h5; "
+                    "training.datasets.BackboneDataset). Trains on real "
+                    "file-backed data via PrefetchLoader instead of in-jit "
+                    "synthetic batches.")
+    ap.add_argument("--make-data", type=str, default=None,
+                    help="generate a synthetic backbone dataset file at this "
+                    "path first (and train on it)")
+    ap.add_argument("--noise", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -58,9 +67,25 @@ def main():
         make_denoise_train_step,
         masked_mse,
     )
-    from egnn_tpu.training.data import synthetic_chain_batch
+    from egnn_tpu.training.data import PrefetchLoader, synthetic_chain_batch
+    from egnn_tpu.training.datasets import (
+        BackboneDataset,
+        make_synthetic_backbone_dataset,
+    )
+    import numpy as np
 
     print(f"devices: {jax.devices()}")
+    dataset = None
+    if args.make_data:
+        make_synthetic_backbone_dataset(args.make_data,
+                                        seq_len=args.nodes // 3)
+        args.data = args.make_data
+        print(f"wrote synthetic backbone dataset to {args.data}")
+    if args.data:
+        dataset = BackboneDataset.load(args.data)
+        args.nodes = 3 * dataset.seq_len  # 3 backbone atoms per residue
+        print(f"dataset: {dataset.num_proteins} proteins x "
+              f"{dataset.seq_len} residues -> n={args.nodes} atoms")
     net = EGNNNetwork(
         depth=args.depth,
         dim=args.dim,
@@ -126,22 +151,71 @@ def main():
     edges_per_step = args.batch * args.nodes * args.knn * args.depth
 
     t0 = time.time()
-    block = max(1, args.block)
-    done = 0
-    while done < args.steps:
-        length = min(block, args.steps - done)
-        state, k_data, loss = run_block(state, k_data, length)
-        done += length
-        loss_v = float(loss)  # fetch: forces execution, feeds metrics
-        dt_i = time.time() - t0
-        metrics.log(done - 1, loss=loss_v,
-                    edges_per_s=done * edges_per_step / dt_i)
-        print(f"step {done - 1:5d}  loss {loss_v:.4f}")
-        if mgr is not None and done % 100 == 0:
-            mgr.save(int(state.step), state)
+    if dataset is not None:
+        # file-backed pipeline: host-side batch assembly on a worker thread,
+        # overlapped with device steps (PrefetchLoader)
+        rng = np.random.RandomState(0)
+        loader = PrefetchLoader(
+            lambda: dataset.denoise_batch(rng, args.batch,
+                                          noise_std=args.noise),
+            depth=2, num_batches=args.steps,
+        )
+        for done, b in enumerate(loader, start=1):
+            state, loss = step_fn(
+                state, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat,
+                b.mask,
+            )
+            if done % max(1, args.block) == 0 or done == args.steps:
+                loss_v = float(loss)
+                metrics.log(done - 1, loss=loss_v,
+                            edges_per_s=done * edges_per_step /
+                            (time.time() - t0))
+                print(f"step {done - 1:5d}  loss {loss_v:.4f}")
+            if mgr is not None and done % 100 == 0:
+                mgr.save(int(state.step), state)
+        loader.close()
+        done = args.steps
+    else:
+        block = max(1, args.block)
+        done = 0
+        while done < args.steps:
+            length = min(block, args.steps - done)
+            state, k_data, loss = run_block(state, k_data, length)
+            done += length
+            loss_v = float(loss)  # fetch: forces execution, feeds metrics
+            dt_i = time.time() - t0
+            metrics.log(done - 1, loss=loss_v,
+                        edges_per_s=done * edges_per_step / dt_i)
+            print(f"step {done - 1:5d}  loss {loss_v:.4f}")
+            if mgr is not None and done % 100 == 0:
+                mgr.save(int(state.step), state)
     jax.block_until_ready(state.params)
     dt = time.time() - t0
     print(f"{args.steps} steps in {dt:.2f}s ({args.steps / dt:.2f} steps/s)")
+
+    # ---- learning-quality anchor (reference demo: egnn_test.ipynb:925,950
+    # reports noised-baseline MSE vs reconstructed MSE, 0.980 -> 0.199) ----
+    eval_rng = np.random.RandomState(12345)
+    if dataset is not None:
+        eb = dataset.denoise_batch(eval_rng, max(4, args.batch),
+                                   noise_std=args.noise)
+    else:
+        eb = synthetic_chain_batch(jax.random.PRNGKey(999),
+                                   max(4, args.batch), args.nodes)
+    eb = jax.device_put(eb)
+
+    @jax.jit
+    def eval_mse(params, b):
+        _, denoised = net.apply({"params": params}, b.tokens, b.noised_coors,
+                                adj_mat=b.adj_mat, mask=b.mask)
+        return (masked_mse(denoised, b.clean_coors, b.mask),
+                masked_mse(b.noised_coors, b.clean_coors, b.mask))
+
+    model_mse, base_mse = eval_mse(state.params, eb)
+    model_mse, base_mse = float(model_mse), float(base_mse)
+    red = base_mse / max(model_mse, 1e-12)
+    print(f"eval MSE: noised baseline {base_mse:.4f} -> "
+          f"denoised {model_mse:.4f}  ({red:.2f}x reduction)")
 
     if mgr is not None:
         mgr.save(int(state.step), state)
