@@ -105,10 +105,13 @@ def _mm_maker(opts):
         # Degenerate contractions (dim < 8) lower to broadcast-multiplies,
         # where the bf16 cast trips a Mosaic verifier bug and buys nothing —
         # keep those f32.
+        prec = None
         if opts.get("mxu_bf16") and a.shape[1] >= 8:
             a, b_ = a.astype(jnp.bfloat16), b_.astype(jnp.bfloat16)
+            prec = jax.lax.Precision.DEFAULT  # pin: bf16 operands ARE the scheme
         return jax.lax.dot_general(
-            a, b_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, b_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     return mm
@@ -191,11 +194,14 @@ def _bwd_kernel(*refs, k, ti, opts):
     ib, ii = pl.program_id(0), pl.program_id(1)
     def dG(a, b_, dims):
         ((ca,), (cb,)), _ = dims
+        prec = None
         if (opts.get("mxu_bf16")
                 and a.shape[ca] >= 8 and min(a.shape) >= 8 and min(b_.shape) >= 8):
             a, b_ = a.astype(jnp.bfloat16), b_.astype(jnp.bfloat16)
+            prec = jax.lax.Precision.DEFAULT  # pin: bf16 operands ARE the scheme
         return jax.lax.dot_general(a, b_, dims,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
     T_ = (((0,), (0,)), ((), ()))   # a^T @ b (contract rows)
     B_ = (((1,), (1,)), ((), ()))   # a @ b^T
 

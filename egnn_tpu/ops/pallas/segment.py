@@ -77,8 +77,15 @@ def _seg_kernel(dst_ref, msg_ref, out_ref, *, n: int, te: int):
     hi = msg.astype(jnp.bfloat16)
     lo = (msg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))  # contract over the edge axis -> (N, D)
-    acc = jax.lax.dot_general(onehot, hi, dn, preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(onehot, lo, dn, preferred_element_type=jnp.float32)
+    # precision pinned explicitly: operands are already bf16 by construction
+    # (the hi+lo split IS the precision scheme), and a global
+    # jax_default_matmul_precision=float32 would otherwise push an fp32
+    # contract onto bf16 vectors, which Mosaic rejects ("Bad lhs type").
+    _prec = jax.lax.Precision.DEFAULT
+    acc = jax.lax.dot_general(onehot, hi, dn, preferred_element_type=jnp.float32,
+                              precision=_prec)
+    acc += jax.lax.dot_general(onehot, lo, dn, preferred_element_type=jnp.float32,
+                               precision=_prec)
     out_ref[:, :] += acc
 
 

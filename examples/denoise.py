@@ -45,6 +45,10 @@ def main():
                     help="generate a synthetic backbone dataset file at this "
                     "path first (and train on it)")
     ap.add_argument("--noise", type=float, default=1.0)
+    ap.add_argument("--data-proteins", type=int, default=64,
+                    help="proteins in the generated dataset (--make-data); "
+                    "the reference demo's 5x MSE anchor is a few-protein "
+                    "memorization regime (egnn_test.ipynb trains one)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +82,7 @@ def main():
     dataset = None
     if args.make_data:
         make_synthetic_backbone_dataset(args.make_data,
+                                        num_proteins=args.data_proteins,
                                         seq_len=args.nodes // 3)
         args.data = args.make_data
         print(f"wrote synthetic backbone dataset to {args.data}")
@@ -86,6 +91,11 @@ def main():
         args.nodes = 3 * dataset.seq_len  # 3 backbone atoms per residue
         print(f"dataset: {dataset.num_proteins} proteins x "
               f"{dataset.seq_len} residues -> n={args.nodes} atoms")
+    # --knn 0 selects the reference's DEFAULT all-pairs layer mode (no
+    # neighbor restriction, egnn_pytorch.py:148 defaults) — the most robust
+    # configuration for the denoising anchor, since kNN edges computed on
+    # NOISED coordinates scramble under heavy noise while all-pairs (and the
+    # notebook's topology-derived edges) stay stable.
     net = EGNNNetwork(
         depth=args.depth,
         dim=args.dim,
@@ -148,7 +158,8 @@ def main():
         return state, k, losses[-1]
 
     metrics = MetricLogger(args.metrics)
-    edges_per_step = args.batch * args.nodes * args.knn * args.depth
+    eff_deg = args.knn if args.knn > 0 else args.nodes
+    edges_per_step = args.batch * args.nodes * eff_deg * args.depth
 
     t0 = time.time()
     if dataset is not None:
