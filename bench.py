@@ -22,7 +22,11 @@ CACHE = REPO / "BASELINE_LOCAL.json"
 
 # config 3
 DEPTH, DIM, N, KNN, BATCH = 3, 32, 1024, 8, 1
-STEPS, WARMUP = 400, 3
+# Two scan lengths; throughput from the SLOPE (t_hi - t_lo)/(hi - lo), which
+# cancels the tunnel's fixed dispatch+fetch cost exactly. A single timed scan
+# absorbs that fixed cost (30-100 ms depending on tunnel health) and swings
+# the headline by +-20% between sessions.
+STEPS_LO, STEPS_HI = 100, 900
 EDGES_PER_STEP = BATCH * N * KNN * DEPTH
 
 
@@ -48,34 +52,47 @@ def bench_tpu() -> float:
     state = TrainState.create(params, make_adam(1e-3))
     step_fn = make_denoise_train_step(net)
 
-    # All timed steps run inside ONE jitted lax.scan so remote-dispatch
-    # latency is paid once, not per step — otherwise tunnel round-trips
-    # (~ms) dominate and the chip is mismeasured.
-    @jax.jit
-    def run_scan(state, steps_dummy):
+    # All timed steps run inside ONE jitted lax.scan per length so remote-
+    # dispatch latency appears once per call; the slope between the two
+    # lengths then cancels it exactly (the same discipline as
+    # utils/profiling.py:measure_op).
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_scan(state, length):
         def body(st, _):
             st, loss = step_fn(
                 st, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
             )
             return st, loss
-        state, losses = jax.lax.scan(body, state, None, length=STEPS)
+        state, losses = jax.lax.scan(body, state, None, length=length)
         return state, losses[-1]
 
-    # warmup: compile + a few steps (also de-correlates the timed input state)
-    state, _ = run_scan(state, None)
-    # Force a device->host fetch: through remote-TPU tunnels,
-    # block_until_ready can return before execution completes, and repeat
-    # executions with identical inputs may be served from a replay cache.
-    # The final loss depends on the whole step chain, so fetching it forces
-    # full execution.
-    state2, loss = run_scan(state, None)
-    float(loss)
-    t0 = time.perf_counter()
-    state3, loss = run_scan(state2, None)
-    loss = float(loss)  # fetch inside the timed region — forces execution
-    dt = time.perf_counter() - t0
-    assert jnp.isfinite(loss), f"non-finite loss {loss}"
-    return STEPS * EDGES_PER_STEP / dt
+    def timed(state, length):
+        # Fetch the loss inside the timed region: through remote-TPU
+        # tunnels, block_until_ready can return before execution completes,
+        # and identical inputs may be replay-cached — the evolving state
+        # keeps inputs distinct, the fetch forces execution.
+        t0 = time.perf_counter()
+        state, loss = run_scan(state, length)
+        loss = float(loss)
+        dt = time.perf_counter() - t0
+        assert jnp.isfinite(loss), f"non-finite loss {loss}"
+        return state, dt
+
+    # warmup/compile both lengths
+    state, _ = run_scan(state, STEPS_LO)
+    state, _ = run_scan(state, STEPS_HI)
+    # best-of-3 per length, then slope of the bests: single-pair slopes can
+    # go negative when tunnel jitter between two calls exceeds the signal
+    t_lo = t_hi = float("inf")
+    for _ in range(3):
+        state, t = timed(state, STEPS_LO)
+        t_lo = min(t_lo, t)
+        state, t = timed(state, STEPS_HI)
+        t_hi = min(t_hi, t)
+    per_step = max(t_hi - t_lo, 1e-9) / (STEPS_HI - STEPS_LO)
+    return EDGES_PER_STEP / per_step
 
 
 def bench_torch_reference() -> float:
