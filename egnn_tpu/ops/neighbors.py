@@ -171,10 +171,14 @@ def knn_select_gather(
     - CPU/GPU: the jnp reference path (f64-capable, bit-parity with tests).
     """
     from .pallas.knn import (
+        PACKED_MASK_SENTINEL,
+        PACKED_MASK_SENTINEL_TILED,
         knn_candidates_packed,
+        knn_candidates_packed_tiled,
         knn_select_pallas,
         knn_select_pallas_tiled,
         supports_pallas_knn_packed,
+        supports_pallas_knn_packed_tiled,
         supports_pallas_knn_shapes,
     )
     from .core import gather_nodes
@@ -199,18 +203,40 @@ def knn_select_gather(
         and kernel_ok and n >= 2 * kc
         and (interpret or supports_pallas_knn_packed(n, kc))
     )
+    # Beyond the full-band reach (n > ~16384), selection dominates the whole
+    # network step (~90% at n=65536) and the refine overhead that kills the
+    # packed path's 16k win becomes negligible against the 3-op-round
+    # savings on the O(n^2) band — so packed-tiled IS the auto default
+    # there (measured: 65k depth-3 network 627 -> 437 ms).
+    use_packed_tiled = backend == "packed_tiled" or (
+        backend == "auto" and on_tpu and adj_mat is None and kernel_ok
+        and n >= 2 * kc and not supports_pallas_knn_shapes(n)
+        and supports_pallas_knn_packed_tiled(n, kc)
+    )
 
-    if use_packed:
-        keys, cols = knn_candidates_packed(
-            coors_sg, kc, mask=mask, interpret=interpret)
+    if use_packed or use_packed_tiled:
+        cand_fn = (knn_candidates_packed_tiled if use_packed_tiled
+                   else knn_candidates_packed)
+        keys, cols = cand_fn(coors_sg, kc, mask=mask, interpret=interpret)
         # Coverage certificate: with fewer than k elements strictly below the
         # true k-th key, keys[k-1] >= key(k-th value); a strictly larger last
         # candidate key then proves every element with key <= keys[k-1] was
-        # extracted. Any failing row -> exact-kernel fallback for the call.
-        ok = jnp.all(keys[..., kc - 1] > keys[..., k - 1])
+        # extracted. A boundary AT the masked-fill sentinel is also safe:
+        # that tie group is masked fills only (the sentinel key is disjoint
+        # from every real key), whose exact ranking values are all equal, so
+        # col-order selection already matches top_k. Any other failing row ->
+        # exact-kernel fallback for the whole call.
+        sent = (PACKED_MASK_SENTINEL_TILED if use_packed_tiled
+                else PACKED_MASK_SENTINEL)
+        ok = jnp.all(
+            (keys[..., kc - 1] > keys[..., k - 1])
+            | (keys[..., k - 1] >= sent)
+        )
 
         def _exact_cands(cc):
-            vals_e, idx_e = knn_select_pallas(
+            exact_fn = (knn_select_pallas_tiled if use_packed_tiled
+                        else knn_select_pallas)
+            vals_e, idx_e = exact_fn(
                 coors_sg, k, mask=mask, interpret=interpret)
             pad = jnp.full(idx_e.shape[:-1] + (kc - k,), n, jnp.int32)
             return jnp.concatenate([idx_e, pad], axis=-1)

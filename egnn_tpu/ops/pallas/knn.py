@@ -448,6 +448,17 @@ _COL_MASK = (1 << _COL_BITS) - 1
 _PACKED_MAX = 2**31 - 1  # plain int: a jnp scalar here would be captured
 # by the kernel as an external constant, which pallas_call rejects
 
+# Masked-pair SENTINEL keys, strictly above every real truncated key
+# (f32 bitcast <= 0x7F7FFFFF, so bits>>14 <= 0x1FDFF and bits>>12 <= 0x7F7FF)
+# and below the pad fill. Packing masked pairs with a key DISJOINT from real
+# keys makes the refine's coverage certificate provably safe at the
+# fill boundary: a tie group at the sentinel consists ONLY of masked fills,
+# whose exact ranking values are all equal (MASKED_RANK_FILL), so col-order
+# selection among them is already the reference's top_k order. Without this,
+# any masked row would fail the certificate and force the exact fallback.
+PACKED_MASK_SENTINEL = 0x1FF00        # full-band variant (18-bit keys)
+PACKED_MASK_SENTINEL_TILED = 0x7F800  # tiled variant (20-bit keys)
+
 
 def supports_pallas_knn_packed(n: int, kc: int, backend=None) -> bool:
     """Full-band VMEM budget, TPU-only, and the column index must fit the
@@ -475,13 +486,14 @@ def _knn_packed_kernel(coors_ref, coors_t_ref, mask_ref,
         xj_c = coors_t_ref[0, cc, :].reshape(1, n)
         d = xi_c - xj_c
         ranking = ranking + d * d
-    if has_mask:
-        mi = mask_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
-        mj = mask_ref[0, 0, :].reshape(1, n)
-        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
 
     bits = jax.lax.bitcast_convert_type(ranking, jnp.int32)
     packed = (bits & jnp.int32(-(1 << _COL_BITS))) | col
+    if has_mask:
+        mi = mask_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
+        mj = mask_ref[0, 0, :].reshape(1, n)
+        sent = (jnp.int32(PACKED_MASK_SENTINEL) << jnp.int32(_COL_BITS)) | col
+        packed = jnp.where((mi * mj) > 0, packed, sent)
     pmax = jnp.int32(_PACKED_MAX)
     if n != n_real:
         packed = jnp.where(col >= n_real, pmax, packed)
@@ -552,4 +564,213 @@ def knn_candidates_packed(
     """
     return _knn_packed_call(
         coors, mask, kc=kc, interpret=interpret, has_mask=mask is not None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed-key candidates, j-tiled: the any-n variant (the 65k regime's kernel)
+# ---------------------------------------------------------------------------
+#
+# Same idea as the full-band packed kernel, tiled like knn_select_pallas_tiled
+# so memory is O(TI*TJ) at any n. Within a (TI, TJ) tile the LOCAL column
+# index needs only 12 bits (TJ <= 4096), leaving a 20-bit truncated key —
+# MORE precise than the full-band variant's 18 bits. The key transform
+# (bits >> 12 with the low bits masked) is identical across tiles, so running
+# merges compare keys consistently; merges use the positional extraction
+# (ties prefer the running half = earlier tiles = lower global columns),
+# preserving the global (key, col) lexicographic order.
+#
+# Where it pays: extraction rounds are 3 ops/element instead of 6, on the
+# O(n^2) band — at n=65536 (selection ~90% of the whole network step) this
+# is the dominant-term cut that the 16k-regime refine overhead can't eat.
+# Dispatch: ops/neighbors.py uses this for n > 16384 (full-band packed
+# covers smaller n; exact kernels remain the <=16384 default per measured
+# notes there).
+
+_TCOL_BITS = 12
+_TCOL_MASK = (1 << _TCOL_BITS) - 1
+
+
+# Packed key for the DEFERRED merge: (key20 << 11) | (tile << 5) | slot.
+# Each tile's local top-kc list is written into a (nj, ti, kc) scratch; ONE
+# extraction pass at the last tile merges everything. Rationale (measured):
+# per-tile running merges are dominated by narrow-band reductions whose
+# lane-shuffle cost is ~width-independent, so merging nj times costs ~nj x
+# one merge — at n=65536 that was MOST of the kernel time (tj=1024 ran 7x
+# slower than tj=4096 purely from merge count). Tile order = ascending j and
+# within-tile slots are (key, col)-ordered, so (key, tile, slot) lex order ==
+# (key, global col) lex order and the merged result keeps exact
+# lax.top_k tie semantics.
+_MERGE_TILE_BITS = 6   # nj <= 64
+_MERGE_SLOT_BITS = 5   # kc <= 32
+_TPAD_KEY = 0xFFFFF    # 20-bit max: pad slots lose to every real/sentinel key
+
+
+def _knn_packed_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
+                             out_keys_ref, out_cols_ref,
+                             keys_sc, cols_sc,
+                             *, n: int, n_real: int, kc: int, c: int, ti: int,
+                             tj: int, has_mask: bool):
+    jj = pl.program_id(2)
+    j0 = jj * tj
+    nj = pl.num_programs(2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+
+    ranking = jnp.zeros((ti, tj), jnp.float32)
+    for cc in range(c):
+        xi_c = coors_i_ref[0, :, cc].reshape(ti, 1)
+        xj_c = coors_tj_ref[0, cc, :].reshape(1, tj)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+
+    bits = jax.lax.bitcast_convert_type(ranking, jnp.int32)
+    packed = (bits & jnp.int32(-(1 << _TCOL_BITS))) | col
+    if has_mask:
+        mi = mask_i_ref[0, 0, :].reshape(ti, 1)
+        mj = mask_j_ref[0, 0, :].reshape(1, tj)
+        sent = (jnp.int32(PACKED_MASK_SENTINEL_TILED)
+                << jnp.int32(_TCOL_BITS)) | col
+        packed = jnp.where((mi * mj) > 0, packed, sent)
+    pmax = jnp.int32(_PACKED_MAX)
+    packed = jnp.where((col + j0) >= n_real, pmax, packed)
+
+    # local kc extraction: 3-op rounds (packed values unique within the tile)
+    outs = []
+    for _ in range(kc):
+        m = jnp.min(packed, axis=1, keepdims=True)
+        outs.append(m)
+        packed = jnp.where(packed == m, pmax, packed)
+    pk = jnp.concatenate(outs, axis=1)                       # (ti, kc)
+    loc_keys = jax.lax.shift_right_logical(pk, jnp.int32(_TCOL_BITS))
+    loc_cols = (pk & jnp.int32(_TCOL_MASK)) + j0
+    is_pad = pk == pmax
+    loc_keys = jnp.where(is_pad, jnp.int32(_TPAD_KEY), loc_keys)
+    loc_cols = jnp.where(is_pad, n, loc_cols)
+
+    # deposit this tile's list; the slot index keeps within-tile order and
+    # the tile index keeps across-tile order in the merged key
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ti, kc), 1)
+    shift = jnp.int32(_MERGE_TILE_BITS + _MERGE_SLOT_BITS)
+    keys_sc[jj] = (
+        (loc_keys << shift) | (jj << jnp.int32(_MERGE_SLOT_BITS)) | slot
+    )
+    cols_sc[jj] = loc_cols
+
+    @pl.when(jj == nj - 1)
+    def _final_merge():
+        band = keys_sc[...]                                  # (nj, ti, kc)
+        cols_all = cols_sc[...]
+        big = jnp.int32(_PACKED_MAX)
+        ks, cs = [], []
+        for _ in range(kc):
+            m = jnp.min(band, axis=(0, 2), keepdims=True)    # (1, ti, 1)
+            c_t = jnp.min(
+                jnp.where(band == m, cols_all, big), axis=(0, 2)
+            )                                                # (ti,)
+            ks.append(m[0])                                  # (ti, 1)
+            cs.append(c_t.reshape(ti, 1))
+            band = jnp.where(band == m, big, band)
+        out_keys_ref[0, :, :] = jax.lax.shift_right_logical(
+            jnp.concatenate(ks, axis=1), shift)
+        out_cols_ref[0, :, :] = jnp.concatenate(cs, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kc", "interpret", "has_mask", "tj")
+)
+def _knn_packed_tiled_call(coors, mask, *, kc, interpret, has_mask, tj=_TJ):
+    coors32, coors_t, mask_i32, _adj, b, n_real, n, c = _prep_knn_inputs(
+        coors, mask, None, has_mask, False)
+    tj = min(tj, n, 1 << _TCOL_BITS)
+    while n % tj:
+        tj //= 2
+    # the deferred merge packs the tile index into 6 bits: nj <= 64, which
+    # together with the 12-bit local column caps n at 64 * 4096 = 262144
+    # (callers gate on supports_pallas_knn_packed_tiled)
+    while n // tj > (1 << _MERGE_TILE_BITS) and tj < (1 << _TCOL_BITS):
+        tj *= 2
+    assert n // tj <= (1 << _MERGE_TILE_BITS), (
+        f"n={n} exceeds the packed-tiled kernel's reach "
+        f"({(1 << _MERGE_TILE_BITS) * (1 << _TCOL_BITS)})"
+    )
+    assert kc <= (1 << _MERGE_SLOT_BITS), f"kc={kc} > {1 << _MERGE_SLOT_BITS}"
+    # tighter budget than the exact tiled kernel: the packed band carries an
+    # extra int32 copy (bits+packed) and the deferred-merge scratch
+    ti = _LANE
+    for cand in (512, 256, 128, 64):
+        if n % cand == 0 and cand * tj * 4 * 4 <= 10 * 1024 * 1024:
+            ti = cand
+            break
+    nj = n // tj
+
+    grid = (b, n // ti, n // tj)
+    kernel = functools.partial(
+        _knn_packed_tiled_kernel, n=n, n_real=n_real, kc=kc, c=c, ti=ti,
+        tj=tj, has_mask=has_mask,
+    )
+    keys, cols = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ti, c), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tj), lambda ib, ii, jj: (ib, 0, jj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ti),
+                         (lambda ib, ii, jj: (ib, 0, ii)) if has_mask
+                         else (lambda ib, ii, jj: (ib, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tj),
+                         (lambda ib, ii, jj: (ib, 0, jj)) if has_mask
+                         else (lambda ib, ii, jj: (ib, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, kc), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, kc), lambda ib, ii, jj: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, kc), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, kc), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nj, ti, kc), jnp.int32),
+            pltpu.VMEM((nj, ti, kc), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3 * b * n * n * c + 3 * b * n * n * kc),
+            bytes_accessed=int(b * n * (4 * c + 8 * kc)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coors32, coors_t, mask_i32, mask_i32)
+    return keys[:, :n_real], cols[:, :n_real]
+
+
+def supports_pallas_knn_packed_tiled(n: int, kc: int, backend=None) -> bool:
+    """TPU-only; the deferred merge caps nj at 64 tiles of <= 4096 columns."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and _LANE <= n <= (1 << _MERGE_TILE_BITS) * (1 << _TCOL_BITS)
+        and 1 <= kc <= (1 << _MERGE_SLOT_BITS)
+    )
+
+
+def knn_candidates_packed_tiled(
+    coors: jnp.ndarray,
+    kc: int,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    tj: int = _TJ,
+):
+    """Any-n top-kc candidates under the coarsened (20-bit key) ranking —
+    tiled running-merge variant of ``knn_candidates_packed``. Same coverage
+    certificate, same caller-side exact refine."""
+    return _knn_packed_tiled_call(
+        coors, mask, kc=kc, interpret=interpret, has_mask=mask is not None,
+        tj=tj,
     )

@@ -228,3 +228,69 @@ def test_packed_gather_payload_gradients():
     rc, rp = jax.grad(loss_ref, argnums=(0, 1))(coors, payload)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(rp), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_tiled_gather_matches_jnp(with_mask):
+    """The any-n packed-tiled candidate kernel + refine must reproduce the
+    jnp reference exactly (random float coords; tj forced small so several
+    tiles merge)."""
+    from egnn_tpu.ops.pallas.knn import knn_candidates_packed_tiled
+
+    n, k, kc = 512, 8, 8 + nb.CANDIDATE_SLACK
+    coors, mask, _ = _random_case(
+        hash(("ptiled", with_mask)) % 2**31, 2, n, 3, k, with_mask, False,
+        integer_coords=False,
+    )
+    keys, cols = knn_candidates_packed_tiled(
+        coors, kc, mask=mask, interpret=True, tj=128)
+    ref = _jnp_reference(coors, k, valid_radius=float("inf"), mask=mask)
+    # coverage certificate (with the masked-fill sentinel exemption, as the
+    # dispatcher applies it) holds on random floats, which guarantees the
+    # exact top-k is CONTAINED in the kc candidates (order within
+    # truncated-key ties differs by design — the caller's exact refine
+    # restores it, see test_packed_tiled_select_gather_end_to_end)
+    from egnn_tpu.ops.pallas.knn import PACKED_MASK_SENTINEL_TILED
+
+    ok = np.asarray(
+        (keys[..., kc - 1] > keys[..., k - 1])
+        | (keys[..., k - 1] >= PACKED_MASK_SENTINEL_TILED)
+    )
+    assert ok.all()
+    cset = np.asarray(cols)
+    rset = np.asarray(ref.indices)
+    b, n = rset.shape[:2]
+    for bb in range(b):
+        for i in range(n):
+            assert set(rset[bb, i]) <= set(cset[bb, i]), (bb, i)
+    # keys are non-decreasing per row
+    assert (np.diff(np.asarray(keys), axis=-1) >= 0).all()
+
+
+def test_packed_tiled_select_gather_end_to_end():
+    from egnn_tpu.ops.pallas import knn as pk
+    n, k = 512, 8
+    coors, mask, _ = _random_case(11, 1, n, 3, k, True, False,
+                                  integer_coords=False)
+    payload = jnp.asarray(
+        np.random.RandomState(8).randn(1, n, 4).astype(np.float32))
+    nbhd, g = nb.knn_select_gather(
+        coors, k, valid_radius=3.0, mask=mask, payload=payload,
+        backend="packed_tiled", interpret=True,
+    )
+    ref = _jnp_reference(coors, k, valid_radius=3.0, mask=mask)
+    np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
+    np.testing.assert_allclose(np.asarray(nbhd.ranking), np.asarray(ref.ranking),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nbhd.valid), np.asarray(ref.valid))
+    assert g.shape == (1, n, k, 3 + 1 + 4)
+
+
+def test_packed_tiled_tie_pileup_falls_back():
+    base = np.random.RandomState(5).randint(-2, 3, size=(1, 64, 3)).astype(np.float32)
+    coors = jnp.asarray(np.tile(base, (1, 4, 1)))
+    nbhd, _ = nb.knn_select_gather(
+        coors, 8, float("inf"), backend="packed_tiled", interpret=True,
+    )
+    ref = _jnp_reference(coors, 8, float("inf"))
+    np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
