@@ -31,9 +31,14 @@ def bench_knn(n=1024, k=8, c=3, reps=(200, 1000), include_xla=True):
     lo, hi = reps
     flops = n * n * (3 * c + 4 * k)  # dist build + k extraction rounds
     bytes_ = n * (4 * c + 8 * k)
+    from egnn_tpu.ops.pallas.knn import knn_candidates_packed_tiled
+
     cases = [
         ("knn_pallas", lambda x: knn_select_pallas(x, k)),
         ("knn_tiled", lambda x: knn_select_pallas_tiled(x, k)),
+        # candidates-only cost of the deferred-merge packed kernel (the
+        # n>16384 auto default; add ~0.5-2 ms of XLA refine for end-to-end)
+        ("knn_packed_tiled", lambda x: knn_candidates_packed_tiled(x, k + 4)),
     ]
     if include_xla:  # at n >= 32k the (n, n) distance matrix stops fitting
         cases.append(("knn_xla", lambda x: nb.select_neighborhood(
