@@ -231,9 +231,14 @@ def knn_select_pallas(
 # (earlier-column) half on equal values, so equal-ranking winners keep
 # lowest-column order.
 
-_TJ = 4096  # j-tile width: bigger tiles -> fewer merges. Measured at
-# n=16384 k=8 (v5e): tj=512 28 ms, 1024 15 ms, 2048 8.4 ms, 4096 5.7 ms
-# (XLA dist+top_k fallback: 229 ms). tj=8192 exceeds the 16 MB scoped VMEM.
+_TJ = 4096  # j-tile width: bigger tiles -> fewer per-tile fixed costs.
+# Round-1 measurements with RUNNING per-tile merges at n=16384 k=8 (v5e):
+# tj=512 28 ms, 1024 15 ms, 2048 8.4 ms, 4096 5.7 ms (XLA dist+top_k
+# fallback: 229 ms) — the tj sensitivity was the per-tile merges, which are
+# narrow-band reductions with ~width-independent lane-shuffle cost. Round 2
+# replaced them with ONE deferred merge over a (nj, ti, k) scratch:
+# n=65536 k=16 went 183.5 -> 118.6 ms (the packed-key candidate variant
+# below reaches 88.7 ms and is the no-adjacency auto default).
 #
 # Full-band vs tiled head-to-head (v5e, us; winner varies non-monotonically
 # with (n, k) — dispatch keeps full-band wherever it fits, which wins most
@@ -297,34 +302,36 @@ def _knn_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
     loc_vals, loc_pos = _extract_topk(ranking, col, k, tj)
     loc_idx = loc_pos + j0
 
-    # ---- fold into the running top-k ----
-    @pl.when(jj == 0)
-    def _init():
-        run_vals[:, :] = loc_vals
-        run_idx[:, :] = loc_idx
-
-    @pl.when(jj > 0)
-    def _merge():
-        mb_vals = jnp.concatenate([run_vals[:, :], loc_vals], axis=1)  # (ti, 2k)
-        mb_idx = jnp.concatenate([run_idx[:, :], loc_idx], axis=1)
-        mcol = jax.lax.broadcasted_iota(jnp.int32, (ti, 2 * k), 1)
-        # 2k-wide extraction; equal values pick the lowest band position,
-        # i.e. the running (earlier-column) half first — exact top_k order.
-        new_vals, new_pos = _extract_topk(mb_vals, mcol, k, 2 * k)
-        picked = []
-        for t in range(k):
-            sel = mcol == new_pos[:, t].reshape(ti, 1)
-            picked.append(
-                jnp.min(jnp.where(sel, mb_idx, jnp.int32(2**31 - 1)),
-                        axis=1, keepdims=True)
-            )
-        run_vals[:, :] = new_vals
-        run_idx[:, :] = jnp.concatenate(picked, axis=1)
+    # ---- deposit; merge ONCE at the last tile ----
+    # (running per-tile merges are narrow-band reductions whose lane-shuffle
+    # cost is ~width-independent — nj merges cost ~nj x one merge and
+    # dominated this kernel; see the packed-tiled variant's notes)
+    run_vals[jj] = loc_vals
+    run_idx[jj] = loc_idx
 
     @pl.when(jj == nj - 1)
-    def _emit():
-        out_vals_ref[0, :, :] = run_vals[:, :]
-        out_idx_ref[0, :, :] = run_idx[:, :]
+    def _final_merge():
+        vals_all = run_vals[...]                             # (nj, ti, k)
+        idx_all = run_idx[...]
+        # (tile, slot) order index: ties in value resolve to the lowest
+        # (tile, slot), which is exactly ascending global column (tiles are
+        # ascending j; within-tile slots emit ties in ascending column)
+        ts = (jax.lax.broadcasted_iota(jnp.int32, (nj, ti, k), 0) * 128
+              + jax.lax.broadcasted_iota(jnp.int32, (nj, ti, k), 2))
+        big_i = jnp.int32(2**31 - 1)
+        vs, cs = [], []
+        for _ in range(k):
+            m = jnp.min(vals_all, axis=(0, 2), keepdims=True)   # (1, ti, 1)
+            at_m = vals_all == m
+            t_sel = jnp.min(jnp.where(at_m, ts, big_i), axis=(0, 2),
+                            keepdims=True)
+            winner = at_m & (ts == t_sel)
+            c_t = jnp.min(jnp.where(winner, idx_all, big_i), axis=(0, 2))
+            vs.append(m[0])                                  # (ti, 1)
+            cs.append(c_t.reshape(ti, 1))
+            vals_all = jnp.where(winner, _EVICT_FILL, vals_all)
+        out_vals_ref[0, :, :] = jnp.concatenate(vs, axis=1)
+        out_idx_ref[0, :, :] = jnp.concatenate(cs, axis=1)
 
 
 @functools.partial(
@@ -337,10 +344,13 @@ def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
     tj = min(tj, n)
     while n % tj:
         tj //= 2
-    # (TI, TJ) band + iota + evict copy must fit the 16 MB scoped VMEM
+    # (TI, TJ) band + iota + evict copy + the (nj, TI, k) deferred-merge
+    # scratch must fit the 16 MB scoped VMEM
+    nj = n // tj
     ti = _LANE
     for cand in (512, 256, 128, 64):
-        if n % cand == 0 and cand * tj * 4 * 3 <= 13 * 1024 * 1024:
+        if (n % cand == 0
+                and cand * (tj * 4 * 3 + nj * k * 4 * 3) <= 11 * 1024 * 1024):
             ti = cand
             break
 
@@ -383,8 +393,8 @@ def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
             jax.ShapeDtypeStruct((b, n, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ti, k), jnp.float32),
-            pltpu.VMEM((ti, k), jnp.int32),
+            pltpu.VMEM((nj, ti, k), jnp.float32),
+            pltpu.VMEM((nj, ti, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(3 * b * n * n * c + 4 * b * n * n * k),
