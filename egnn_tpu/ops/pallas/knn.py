@@ -240,9 +240,11 @@ _TJ = 4096  # j-tile width: bigger tiles -> fewer per-tile fixed costs.
 # n=65536 k=16 went 183.5 -> 118.6 ms (the packed-key candidate variant
 # below reaches 88.7 ms and is the no-adjacency auto default).
 #
-# Full-band vs tiled head-to-head (v5e, us; winner varies non-monotonically
-# with (n, k) — dispatch keeps full-band wherever it fits, which wins most
-# configs; revisit only with fresh measurements):
+# Full-band vs tiled head-to-head (v5e, us, ROUND-1 numbers measured with
+# the old running per-tile merges — the round-2 deferred merge makes the
+# tiled column ~1.5-2x faster, so these are upper bounds for it; dispatch
+# still keeps full-band wherever it fits, which remains correct for the
+# k=8/16 flagship shapes; revisit only with fresh measurements):
 #   n=1024 k=8: 41/47      n=1024 k=16: 83/42     n=2048 k=16: 177/192
 #   n=4096 k=8: 253/206    n=4096 k=16: 463/392   n=8192 k=8: 866/1237
 #   n=8192 k=16: 1608/2354 n=16384 k=8: 3291/5632
