@@ -84,14 +84,25 @@ def bench_tpu() -> float:
     state, _ = run_scan(state, STEPS_LO)
     state, _ = run_scan(state, STEPS_HI)
     # best-of-3 per length, then slope of the bests: single-pair slopes can
-    # go negative when tunnel jitter between two calls exceeds the signal
-    t_lo = t_hi = float("inf")
-    for _ in range(3):
-        state, t = timed(state, STEPS_LO)
-        t_lo = min(t_lo, t)
-        state, t = timed(state, STEPS_HI)
-        t_hi = min(t_hi, t)
-    per_step = max(t_hi - t_lo, 1e-9) / (STEPS_HI - STEPS_LO)
+    # go negative when tunnel jitter between two calls exceeds the signal.
+    # A non-positive slope even on the bests means the tunnel is too noisy
+    # for a valid measurement — retry, then fail loudly rather than emit an
+    # absurd clamped number into the BENCH record.
+    for attempt in range(3):
+        t_lo = t_hi = float("inf")
+        for _ in range(3):
+            state, t = timed(state, STEPS_LO)
+            t_lo = min(t_lo, t)
+            state, t = timed(state, STEPS_HI)
+            t_hi = min(t_hi, t)
+        if t_hi > t_lo:
+            break
+    else:
+        raise RuntimeError(
+            f"non-positive timing slope after 3 attempts "
+            f"(t_lo={t_lo:.4f}s, t_hi={t_hi:.4f}s): tunnel too noisy"
+        )
+    per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
     return EDGES_PER_STEP / per_step
 
 

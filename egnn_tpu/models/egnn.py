@@ -340,10 +340,12 @@ class EGNN(nn.Module):
             # [coors | mask | feats] gather (gathers are index/latency-bound
             # on TPU, not width-bound — one wide gather beats separate
             # narrow ones ~2x on the n=16384 layer fwd+bwd; the backward's
-            # scatter-add combines the same way). On TPU without adjacency
-            # this runs the packed-candidate kernel + exact refine
-            # (ops/pallas/knn.py); selection is stop-gradient, the gather is
-            # differentiable, and the O(n^2) pass never enters autodiff.
+            # scatter-add combines the same way). On TPU selection auto-routes
+            # to the exact Pallas kernels up to the full-band reach
+            # (n <= 16384) and to the packed-tiled candidate kernel + exact
+            # refine beyond it (ops/pallas/knn.py); selection is stop-gradient,
+            # the gather is differentiable, and the O(n^2) pass never enters
+            # autodiff.
             nbhd, g = nb.knn_select_gather(
                 coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b,
                 payload=feats,

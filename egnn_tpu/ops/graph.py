@@ -38,10 +38,12 @@ def _device_knn(coors2d, k, node_mask, loop):
     TPU (full-band / j-tiled; O(tile) memory at ANY n), the jnp (n, n) path
     on CPU and tiny graphs.
 
-    ``loop=False`` selects k+1 and drops the self slot per row (self distance
-    0 always ranks in the top k+1; with >k exact-zero duplicate-coordinate
-    ties the last slot is dropped instead — the kept set is still the k
-    smallest non-self entries).
+    ``loop=False`` selects min(k+1, n) and drops the self slot per row (self
+    distance 0 always ranks in the top k+1; with >k exact-zero
+    duplicate-coordinate ties the last slot is dropped instead — the kept set
+    is still the smallest non-self entries). In the degenerate ``n <= k``
+    regime the output width is n-1 (every other node, still self-free); the
+    builders read the width off the array, so capacity just shrinks.
     Masked pairs carry the kernels' 1e5 ranking fill, so validity is
     ``val < 1e5`` — coordinates are assumed scaled so real squared distances
     stay below 1e5 (the reference's own masked-fill convention,
@@ -51,20 +53,21 @@ def _device_knn(coors2d, k, node_mask, loop):
 
     n = coors2d.shape[0]
     m1 = None if node_mask is None else node_mask[None]
-    if loop or n <= k:
+    if loop:
         nbhd = knn_select(coors2d[None], min(k, n), float("inf"), mask=m1)
         return nbhd.indices[0], nbhd.ranking[0]
 
     kk = min(k + 1, n)
+    kw = kk - 1                                           # self-free width
     nbhd = knn_select(coors2d[None], kk, float("inf"), mask=m1)
     idx, vals = nbhd.indices[0], nbhd.ranking[0]          # (n, kk)
     row = jnp.arange(n, dtype=idx.dtype)[:, None]
     keep = idx != row
     has_self = (~keep).any(axis=1)
     drop_tail = (~has_self)[:, None] & (jnp.arange(kk) == kk - 1)
-    keep = keep & ~drop_tail                              # exactly k kept/row
+    keep = keep & ~drop_tail                              # exactly kw kept/row
     pos = jnp.cumsum(keep, axis=1)                        # 1-based rank kept
-    oh = keep[:, None, :] & (pos[:, None, :] == (jnp.arange(k)[:, None] + 1))
+    oh = keep[:, None, :] & (pos[:, None, :] == (jnp.arange(kw)[:, None] + 1))
     out_idx = jnp.sum(jnp.where(oh, idx[:, None, :], 0), axis=-1)
     out_vals = jnp.sum(jnp.where(oh, vals[:, None, :], jnp.zeros((), vals.dtype)),
                        axis=-1)
@@ -101,12 +104,13 @@ def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
         mg = None if node_mask is None else node_mask.reshape(g, m)
         from .neighbors import knn_select
 
-        if loop or m <= k:
+        if loop:
             nbhd = knn_select(cg, min(k, m), float("inf"), mask=mg)
             idx, vals = nbhd.indices, nbhd.ranking
             kk_eff = idx.shape[-1]
         else:
             kk = min(k + 1, m)
+            kw = kk - 1                                   # self-free width
             nbhd = knn_select(cg, kk, float("inf"), mask=mg)
             rowm = jnp.arange(m, dtype=nbhd.indices.dtype)[None, :, None]
             keep = nbhd.indices != rowm
@@ -115,7 +119,7 @@ def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
             keep = keep & ~drop_tail
             pos = jnp.cumsum(keep, axis=-1)
             oh = keep[:, :, None, :] & (
-                pos[:, :, None, :] == (jnp.arange(k)[:, None] + 1)
+                pos[:, :, None, :] == (jnp.arange(kw)[:, None] + 1)
             )
             idx = jnp.sum(jnp.where(oh, nbhd.indices[:, :, None, :], 0), axis=-1)
             vals = jnp.sum(
@@ -123,7 +127,7 @@ def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
                           jnp.zeros((), nbhd.ranking.dtype)),
                 axis=-1,
             )
-            kk_eff = k
+            kk_eff = kw
         base = (jnp.arange(g, dtype=jnp.int32) * m)[:, None, None]
         idx_g = (idx.astype(jnp.int32) + base).reshape(n, kk_eff)
         vals_g = vals.reshape(n, kk_eff)

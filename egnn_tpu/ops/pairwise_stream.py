@@ -99,7 +99,11 @@ def pairwise_block(
     ``dropout_rate > 0`` and a ``dropout_rng``, inverted dropout is applied at
     the reference positions (after edge_mlp layer 1 and coors_mlp layer 1,
     egnn_pytorch.py:178-208)."""
-    dtype = proj_i.dtype
+    # cross-chunk/cross-ring partial sums are accumulated by the caller over
+    # many blocks — keep them >= f32 even when compute_dtype (and hence
+    # proj_i) is bf16: bf16 cannot represent integer counts above 256 and
+    # running message sums drift
+    acc_dtype = jnp.promote_types(proj_i.dtype, jnp.float32)
     b, ni, c = coors_i.shape
     mp = (
         (lambda x: x.astype(compute_dtype))
@@ -135,9 +139,9 @@ def pairwise_block(
         m_ij = m_ij * jax.nn.sigmoid(m_ij @ mp(params.gate_w) + mp(params.gate_b))
 
     m_dim = params.edge_w2.shape[-1]
-    m_sum = jnp.zeros((b, ni, m_dim), dtype)
+    m_sum = jnp.zeros((b, ni, m_dim), acc_dtype)
     coors_delta = jnp.zeros((b, ni, c), coors_i.dtype)
-    count = jnp.zeros((b, ni), dtype)
+    count = jnp.zeros((b, ni), acc_dtype)
 
     if update_coors:
         cw = _silu(drop(m_ij @ mp(params.coors_w1) + mp(params.coors_b1), r2))
@@ -164,12 +168,12 @@ def pairwise_block(
         if pair_valid is not None:
             m_ij = jnp.where(pair_valid[..., None], m_ij,
                              jnp.zeros((), m_ij.dtype))
-            count = pair_valid.sum(axis=-1).astype(dtype)
+            count = pair_valid.sum(axis=-1).astype(acc_dtype)
         else:
-            count = jnp.full((b, ni), m_ij.shape[-2], dtype)
+            count = jnp.full((b, ni), m_ij.shape[-2], acc_dtype)
         # cross-chunk accumulators stay full precision regardless of
         # compute_dtype (bf16 running sums over many chunks drift)
-        m_sum = m_ij.sum(axis=-2).astype(dtype)
+        m_sum = m_ij.sum(axis=-2).astype(acc_dtype)
 
     return m_sum, coors_delta, count
 
@@ -207,7 +211,9 @@ def streamed_pairwise(
     b, n, c = coors.shape
     hidden = proj_i.shape[-1]
     m_dim = params.edge_w2.shape[-1]
-    dtype = proj_i.dtype
+    # match pairwise_block's partial-sum dtype: >= f32 even under bf16
+    # compute_dtype (bf16 counts saturate at 256; running sums drift)
+    acc_dtype = jnp.promote_types(proj_i.dtype, jnp.float32)
 
     cj = chunk or _auto_chunk(b, n, hidden)
     # pad n up to a multiple of the chunk; padded j's are masked out of every
@@ -258,9 +264,9 @@ def streamed_pairwise(
         return (acc_m + m_sum, acc_c + c_delta, acc_cnt + cnt), None
 
     init = (
-        jnp.zeros((b, n, m_dim), dtype),
+        jnp.zeros((b, n, m_dim), acc_dtype),
         jnp.zeros((b, n, c), coors.dtype),
-        jnp.zeros((b, n), dtype),
+        jnp.zeros((b, n), acc_dtype),
     )
     (acc_m, acc_c, acc_cnt), _ = jax.lax.scan(
         jax.checkpoint(chunk_body), init, jnp.arange(num_chunks)

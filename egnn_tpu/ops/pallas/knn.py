@@ -687,23 +687,39 @@ def _knn_packed_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
         out_cols_ref[0, :, :] = jnp.concatenate(cs, axis=1)
 
 
+def _packed_tiled_tj(n: int, tj: int = _TJ):
+    """j-tile width for the packed-tiled kernel at lane-padded size ``n``,
+    or None when the shape is out of reach.
+
+    The deferred merge packs the tile index into 6 bits (nj <= 64) and the
+    local column into 12 bits (tj <= 4096), so the grid must satisfy BOTH
+    ``tj | n`` (every column scanned — a non-dividing tj would silently drop
+    the tail columns) and ``n // tj <= 64``. Growth from the largest
+    power-of-two divisor only proceeds while divisibility is preserved; for
+    n whose odd part exceeds 64 (e.g. lane-padded 17024 = 128*133) no valid
+    tj exists and callers must fall back to the exact tiled kernel."""
+    tj = min(tj, n, 1 << _TCOL_BITS)
+    while n % tj:
+        tj //= 2
+    while (n % (2 * tj) == 0 and n // tj > (1 << _MERGE_TILE_BITS)
+           and tj < (1 << _TCOL_BITS)):
+        tj *= 2
+    if n % tj or n // tj > (1 << _MERGE_TILE_BITS):
+        return None
+    return tj
+
+
 @functools.partial(
     jax.jit, static_argnames=("kc", "interpret", "has_mask", "tj")
 )
 def _knn_packed_tiled_call(coors, mask, *, kc, interpret, has_mask, tj=_TJ):
     coors32, coors_t, mask_i32, _adj, b, n_real, n, c = _prep_knn_inputs(
         coors, mask, None, has_mask, False)
-    tj = min(tj, n, 1 << _TCOL_BITS)
-    while n % tj:
-        tj //= 2
-    # the deferred merge packs the tile index into 6 bits: nj <= 64, which
-    # together with the 12-bit local column caps n at 64 * 4096 = 262144
-    # (callers gate on supports_pallas_knn_packed_tiled)
-    while n // tj > (1 << _MERGE_TILE_BITS) and tj < (1 << _TCOL_BITS):
-        tj *= 2
-    assert n // tj <= (1 << _MERGE_TILE_BITS), (
-        f"n={n} exceeds the packed-tiled kernel's reach "
-        f"({(1 << _MERGE_TILE_BITS) * (1 << _TCOL_BITS)})"
+    tj = _packed_tiled_tj(n, tj)
+    assert tj is not None, (
+        f"no dividing j-tile <= {1 << _TCOL_BITS} reaches nj <= "
+        f"{1 << _MERGE_TILE_BITS} for n={n}; gate on "
+        "supports_pallas_knn_packed_tiled"
     )
     assert kc <= (1 << _MERGE_SLOT_BITS), f"kc={kc} > {1 << _MERGE_SLOT_BITS}"
     # tighter budget than the exact tiled kernel: the packed band carries an
@@ -762,13 +778,17 @@ def _knn_packed_tiled_call(coors, mask, *, kc, interpret, has_mask, tj=_TJ):
 
 
 def supports_pallas_knn_packed_tiled(n: int, kc: int, backend=None) -> bool:
-    """TPU-only; the deferred merge caps nj at 64 tiles of <= 4096 columns."""
+    """TPU-only; the deferred merge caps nj at 64 tiles of <= 4096 columns,
+    AND the lane-padded n must admit a dividing power-of-two j-tile within
+    those caps (it does not when n's odd part exceeds 64, e.g. n=17000)."""
     if backend is None:
         backend = jax.default_backend()
+    n_pad = -(-n // _LANE) * _LANE
     return (
         backend == "tpu"
-        and _LANE <= n <= (1 << _MERGE_TILE_BITS) * (1 << _TCOL_BITS)
+        and n >= _LANE
         and 1 <= kc <= (1 << _MERGE_SLOT_BITS)
+        and _packed_tiled_tj(n_pad) is not None
     )
 
 

@@ -53,13 +53,15 @@ def ring_pairwise(
     g = jax.lax.axis_size(axis_name)
     perm = [(s, (s + 1) % g) for s in range(g)]  # send right around the ring
 
-    dtype = proj_i.dtype
+    # cross-ring accumulators stay >= f32 under bf16 compute_dtype, matching
+    # pairwise_block's partial-sum dtype (bf16 counts saturate at 256)
+    acc_dtype = jnp.promote_types(proj_i.dtype, jnp.float32)
     b, n_local, c = coors.shape
     m_dim = params.edge_w2.shape[-1]
 
-    acc_m = jnp.zeros((b, n_local, m_dim), dtype)
+    acc_m = jnp.zeros((b, n_local, m_dim), acc_dtype)
     acc_c = jnp.zeros((b, n_local, c), coors.dtype)
-    acc_cnt = jnp.zeros((b, n_local), dtype)
+    acc_cnt = jnp.zeros((b, n_local), acc_dtype)
 
     # visiting payload starts as our own shard
     visiting = (coors, proj_j, mask if mask is not None else None)

@@ -140,3 +140,29 @@ def test_knn_graph_segment_ready_for_sparse_layer():
                         edge_mask=es.mask)
     out = layer.apply(params, x, es.edge_index, edge_mask=es.mask)
     assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("use_graph_size", [False, True])
+def test_knn_graph_no_self_loops_when_n_leq_k(use_graph_size):
+    """Degenerate n <= k with loop=False: the builder must still exclude
+    self (ADVICE r2) — output width shrinks to n-1 instead of including a
+    self edge per row."""
+    rng = np.random.RandomState(9)
+    n, k = 6, 8
+    if use_graph_size:
+        coors = jnp.asarray(rng.randn(2 * n, 3).astype(np.float32))
+        es = knn_graph(coors, k, loop=False, graph_size=n)
+        ntot = 2 * n
+    else:
+        coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        es = knn_graph(coors, k, loop=False)
+        ntot = n
+    kk = es.senders.shape[0] // ntot
+    assert kk == n - 1
+    s = np.asarray(es.senders).reshape(ntot, kk)
+    m = np.asarray(es.mask).reshape(ntot, kk)
+    assert m.all()
+    for i in range(ntot):
+        assert i not in s[i].tolist()
+        g0 = (i // n) * n if use_graph_size else 0
+        assert set(s[i].tolist()) == set(range(g0, g0 + n)) - {i}

@@ -170,3 +170,32 @@ def test_stream_bf16_matches_materialized_bf16(with_mask):
                **{**common, "compute_dtype": None})
     f0, c0 = jax.jit(ref.apply)(params, feats, coors, mask=mask)
     assert float(jnp.abs(c2 - c0).max()) < 0.1
+
+
+def test_stream_bf16_counts_and_sums_accumulate_f32():
+    """ADVICE r2 (medium): with bf16 proj inputs the cross-chunk
+    accumulators must stay >= f32 — bf16 cannot represent integer counts
+    above 256, so masked-mean divisors would drift at larger n."""
+    from egnn_tpu.ops.pairwise_stream import PairwiseParams, streamed_pairwise
+
+    b, n, hidden, m_dim = 1, 259, 8, 8   # 259 odd > 256: not bf16-representable
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    coors = jax.random.normal(ks[0], (b, n, 3), jnp.float32)
+    proj_i = jax.random.normal(ks[1], (b, n, hidden)).astype(jnp.bfloat16)
+    proj_j = jax.random.normal(ks[2], (b, n, hidden)).astype(jnp.bfloat16)
+    f32 = lambda *s: jax.random.normal(ks[3], s, jnp.float32) * 0.1
+    pp = PairwiseParams(
+        w_d=f32(1, hidden), edge_w2=f32(hidden, m_dim), edge_b2=f32(m_dim),
+        gate_w=None, gate_b=None,
+        coors_w1=f32(m_dim, m_dim), coors_b1=f32(m_dim),
+        coors_w2=f32(m_dim, 1), coors_b2=f32(1), cn_scale=None,
+    )
+    mask = jnp.ones((b, n), bool)
+    res = streamed_pairwise(
+        coors, proj_i, proj_j, pp, mask=mask, chunk=64,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert res.pair_count.dtype == jnp.float32
+    assert res.m_i.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(res.pair_count),
+                                  np.full((b, n), n, np.float32))

@@ -294,3 +294,70 @@ def test_packed_tiled_tie_pileup_falls_back():
     )
     ref = _jnp_reference(coors, 8, float("inf"))
     np.testing.assert_array_equal(np.asarray(nbhd.indices), np.asarray(ref.indices))
+
+
+# ---------------------------------------------------------------------------
+# packed-tiled j-tile divisibility (every column must be scanned)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_tiled_tj_always_divides():
+    """The chosen j-tile must divide the (lane-padded) n — a non-dividing tj
+    silently drops the tail columns from the candidate scan, which the
+    coverage certificate cannot detect."""
+    from egnn_tpu.ops.pallas.knn import (
+        _MERGE_TILE_BITS, _TCOL_BITS, _packed_tiled_tj)
+
+    for n in [128, 1280, 12288, 16384, 65536, 262144, 17024, 9600, 66048]:
+        tj = _packed_tiled_tj(n)
+        if tj is not None:
+            assert n % tj == 0, (n, tj)
+            assert n // tj <= (1 << _MERGE_TILE_BITS), (n, tj)
+            assert tj <= (1 << _TCOL_BITS), (n, tj)
+    # odd-part > 64: no dividing power-of-two tile reaches nj <= 64
+    assert _packed_tiled_tj(17024) is None    # 128 * 133
+    assert _packed_tiled_tj(66048) is None    # 128 * 516 = 2^9 * 129
+    # caller-forced small tj grows only while divisibility holds
+    assert _packed_tiled_tj(16384, 128) == 256  # nj 128 -> grown to 64
+    assert _packed_tiled_tj(12288, 4096) == 4096  # 3 tiles, fine as-is
+
+
+def test_supports_packed_tiled_rejects_undividable_shapes():
+    """Shapes whose lane-padded size has odd part > 64 must be rejected so
+    the dispatcher falls back to the exact tiled kernel (which handles any
+    lane-padded n)."""
+    from egnn_tpu.ops.pallas.knn import supports_pallas_knn_packed_tiled
+
+    assert supports_pallas_knn_packed_tiled(12200, 20, backend="tpu")
+    assert supports_pallas_knn_packed_tiled(262144, 20, backend="tpu")
+    # 17000 pads to 17024 = 128*133 -> no valid tile decomposition
+    assert not supports_pallas_knn_packed_tiled(17000, 20, backend="tpu")
+    assert not supports_pallas_knn_packed_tiled(17024, 20, backend="tpu")
+    # beyond 64*4096 the 6-bit tile index can't reach either
+    assert not supports_pallas_knn_packed_tiled(262145, 20, backend="tpu")
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_tiled_non_power_of_two_n(with_mask):
+    """Non-power-of-two n with a lane-padding tail: the padded columns in
+    the last tile must be excluded and every REAL column scanned (the
+    round-2 growth loop dropped tail columns for such shapes)."""
+    from egnn_tpu.ops.pallas.knn import knn_candidates_packed_tiled
+
+    n, k = 1210, 8          # pads to 1280 = 2^8 * 5 (non-power-of-two)
+    kc = k + nb.CANDIDATE_SLACK
+    coors, mask, _ = _random_case(
+        hash(("ptile-np2", with_mask)) % 2**31, 1, n, 3, k, with_mask, False,
+        integer_coords=False,
+    )
+    keys, cols = knn_candidates_packed_tiled(
+        coors, kc, mask=mask, interpret=True, tj=128)  # 10 j-tiles
+    ref = _jnp_reference(coors, k, valid_radius=float("inf"), mask=mask)
+    cset = np.asarray(cols)
+    rset = np.asarray(ref.indices)
+    for i in range(n):
+        assert set(rset[0, i]) <= set(cset[0, i]), i
+    # no padded column (>= n) ever appears among real-keyed candidates
+    from egnn_tpu.ops.pallas.knn import PACKED_MASK_SENTINEL_TILED
+    real = np.asarray(keys) < PACKED_MASK_SENTINEL_TILED
+    assert (cset[real] < n).all()
