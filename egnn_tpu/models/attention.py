@@ -22,11 +22,13 @@ class Attention(nn.Module):
     """Multi-head cross attention: queries from ``x``, keys/values from
     ``context``; optional boolean key mask (egnn_pytorch.py:81-110).
 
-    ``init_eps`` mirrors the enclosing EGNN dense init when used inside
-    EGNN_Network (all Linears get Normal(std=init_eps) weights only when the
-    reference applies ``EGNN.init_``; standalone reference Attention uses torch
-    defaults — we default to torch's Kaiming-uniform-equivalent scale here via
-    xavier; exactness for standalone attention is not required by tests).
+    Fresh-init parity: the reference never applies ``EGNN.init_`` to its
+    attention blocks (init_ touches only the EGNN module's own Linears,
+    egnn_pytorch.py:219-222, :387), so reference attention always carries
+    torch Linear defaults — kaiming_uniform(a=sqrt(5)) weights =
+    U(+-1/sqrt(fan_in)), same-bound uniform bias (egnn_pytorch.py:88-90).
+    Mirrored here distributionally via ``torch_linear_weight_init`` /
+    ``torch_linear_bias_init``.
     """
 
     dim: int
@@ -39,10 +41,10 @@ class Attention(nn.Module):
         inner = h * dh
         scale = dh**-0.5
 
-        wq = self.param("to_q_w", inits.xavier_normal_init, (self.dim, inner))
-        wkv = self.param("to_kv_w", inits.xavier_normal_init, (self.dim, inner * 2))
-        wo = self.param("to_out_w", inits.xavier_normal_init, (inner, self.dim))
-        bo = self.param("to_out_b", inits.zeros_init, (self.dim,))
+        wq = self.param("to_q_w", inits.torch_linear_weight_init, (self.dim, inner))
+        wkv = self.param("to_kv_w", inits.torch_linear_weight_init, (self.dim, inner * 2))
+        wo = self.param("to_out_w", inits.torch_linear_weight_init, (inner, self.dim))
+        bo = self.param("to_out_b", inits.torch_linear_bias_init(inner), (self.dim,))
 
         q = x @ wq
         kv = context @ wkv
@@ -97,10 +99,10 @@ class GlobalLinearAttention(nn.Module):
 
         g_ff = self.param("ff_norm_gamma", inits.ones_init, (d,))
         b_ff = self.param("ff_norm_beta", inits.zeros_init, (d,))
-        w1 = self.param("ff_w1", inits.xavier_normal_init, (d, d * 4))
-        b1 = self.param("ff_b1", inits.zeros_init, (d * 4,))
-        w2 = self.param("ff_w2", inits.xavier_normal_init, (d * 4, d))
-        b2 = self.param("ff_b2", inits.zeros_init, (d,))
+        w1 = self.param("ff_w1", inits.torch_linear_weight_init, (d, d * 4))
+        b1 = self.param("ff_b1", inits.torch_linear_bias_init(d), (d * 4,))
+        w2 = self.param("ff_w2", inits.torch_linear_weight_init, (d * 4, d))
+        b2 = self.param("ff_b2", inits.torch_linear_bias_init(d * 4), (d,))
 
         ff = layer_norm(x, g_ff, b_ff)
         ff = jax.nn.gelu(ff @ w1 + b1, approximate=False) @ w2 + b2

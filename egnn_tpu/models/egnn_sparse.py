@@ -282,11 +282,15 @@ class AttentionSparse(nn.Module):
     dim_head: int = 64
 
     def setup(self):
+        # torch Linear defaults, like the reference's Attention_Sparse (it
+        # inherits dense Attention's ctor, egnn_pytorch_geometric.py:32 ->
+        # egnn_pytorch.py:88-90; the sparse xavier+zero-bias scheme applies
+        # only to EGNN_Sparse's own MLPs).
         inner = self.heads * self.dim_head
-        self.wq = self.param("to_q_w", inits.xavier_normal_init, (self.dim, inner))
-        self.wkv = self.param("to_kv_w", inits.xavier_normal_init, (self.dim, inner * 2))
-        self.wo = self.param("to_out_w", inits.xavier_normal_init, (inner, self.dim))
-        self.bo = self.param("to_out_b", inits.zeros_init, (self.dim,))
+        self.wq = self.param("to_q_w", inits.torch_linear_weight_init, (self.dim, inner))
+        self.wkv = self.param("to_kv_w", inits.torch_linear_weight_init, (self.dim, inner * 2))
+        self.wo = self.param("to_out_w", inits.torch_linear_weight_init, (inner, self.dim))
+        self.bo = self.param("to_out_b", inits.torch_linear_bias_init(inner), (self.dim,))
 
     def queries_to_nodes(
         self,
@@ -401,10 +405,10 @@ class GlobalLinearAttentionSparse(nn.Module):
 
         g_ff = self.param("ff_norm_gamma", inits.ones_init, (d,))
         b_ff = self.param("ff_norm_beta", inits.zeros_init, (d,))
-        w1 = self.param("ff_w1", inits.xavier_normal_init, (d, d * 4))
-        b1 = self.param("ff_b1", inits.zeros_init, (d * 4,))
-        w2 = self.param("ff_w2", inits.xavier_normal_init, (d * 4, d))
-        b2 = self.param("ff_b2", inits.zeros_init, (d,))
+        w1 = self.param("ff_w1", inits.torch_linear_weight_init, (d, d * 4))
+        b1 = self.param("ff_b1", inits.torch_linear_bias_init(d), (d * 4,))
+        w2 = self.param("ff_w2", inits.torch_linear_weight_init, (d * 4, d))
+        b2 = self.param("ff_b2", inits.torch_linear_bias_init(d * 4), (d,))
 
         x_norm = graph_layer_norm(x, batch, num_graphs, g_ff, b_ff,
                                   node_mask=node_mask, axis_name=self.axis_name)

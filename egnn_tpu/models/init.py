@@ -47,6 +47,20 @@ def torch_linear_bias_init(fan_in: int):
     return init
 
 
+def torch_linear_weight_init(key, shape):
+    """torch.nn.Linear default weight init for (in, out)-stored weights.
+
+    torch uses kaiming_uniform(a=sqrt(5)) on the (out, in) matrix, which
+    reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = in_features
+    (torch.nn.modules.linear reset_parameters). Distributionally identical
+    here with fan_in = shape[-2].
+    """
+    bound = 1.0 / (shape[-2] ** 0.5)
+    return jax.random.uniform(
+        key, shape, dtype=default_float(), minval=-bound, maxval=bound
+    )
+
+
 def xavier_normal_init(key, shape):
     """Gaussian with std sqrt(2 / (fan_in + fan_out)) for (in, out) weights."""
     fan_in, fan_out = shape[-2], shape[-1]
