@@ -1,0 +1,217 @@
+"""On-chip smoke suite: Mosaic-compiled kernel parity, f32 equivariance, and
+one training-step finiteness check (VERDICT r2 item 4 / SURVEY §7 hard-part 5).
+
+Tolerances: TPU f32 matmuls run as bf16 MXU passes by default, so MLP-path
+outputs drift ~1e-2 vs CPU f64 — equivariance checks here are loose. Kernel
+geometry (distances, ranking, selection) is pure f32 VPU work in both the
+Pallas kernels and the jnp oracle, so selection indices must match EXACTLY
+on hardware (any mismatch is a Mosaic lowering bug, the thing this suite
+exists to catch).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egnn_tpu import EGNN, EGNNNetwork, EGNNSparse
+from egnn_tpu.ops import neighbors as nb
+from egnn_tpu.utils.rotations import rot
+
+
+def _rand(shape, seed, scale=1.0):
+    return scale * jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# kernel parity on hardware (exact: f32 VPU geometry both sides)
+# ---------------------------------------------------------------------------
+
+SELECT_CASES = [
+    # (n, k, with_mask, with_adj, backend) — exercises full-band (n<=16384),
+    # ties, mask fills, adjacency overrides, and both packed candidate paths.
+    (256, 8, False, False, "pallas"),
+    (1024, 5, True, False, "pallas"),
+    (512, 8, True, True, "pallas"),
+    (1024, 8, True, False, "packed"),
+    (1024, 16, False, False, "tiled"),
+]
+
+
+@pytest.mark.parametrize("n,k,with_mask,with_adj,backend", SELECT_CASES)
+def test_knn_select_matches_jnp_on_chip(n, k, with_mask, with_adj, backend):
+    coors = _rand((1, n, 3), seed=n + k, scale=3.0)
+    mask = None
+    adj = None
+    if with_mask:
+        mask = jax.random.bernoulli(jax.random.PRNGKey(7), 0.9, (1, n))
+    if with_adj:
+        ar = jnp.arange(n)
+        adj = (jnp.abs(ar[:, None] - ar[None, :]) == 1)[None]
+
+    def run(be):
+        return nb.knn_select(coors, k, float("inf"), mask=mask, adj_mat=adj,
+                             backend=be)
+
+    got = jax.jit(lambda: run(backend))()
+    ref = jax.jit(lambda: run("jnp"))()
+    np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+    np.testing.assert_allclose(np.asarray(got.ranking), np.asarray(ref.ranking),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+
+
+def test_knn_select_tie_order_on_chip():
+    # duplicated coordinates create exact distance ties; the kernels must
+    # resolve them to the lowest j, like jax.lax.top_k
+    base = _rand((1, 32, 3), seed=3)
+    coors = jnp.concatenate([base, base, base, base], axis=1)  # n=128, 4x dups
+    got = jax.jit(
+        lambda: nb.knn_select(coors, 6, float("inf"), backend="pallas"))()
+    ref = jax.jit(
+        lambda: nb.knn_select(coors, 6, float("inf"), backend="jnp"))()
+    np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+
+
+def test_knn_packed_tiled_auto_dispatch_on_chip():
+    # n beyond the full-band VMEM reach: auto dispatch = packed-tiled
+    # candidates + exact refine (+ certificate fallback). Compare against the
+    # exact tiled kernel rather than the jnp path (the (n, n) distance matrix
+    # the jnp oracle builds would be 4 GB here).
+    n, k = 32768, 8
+    coors = _rand((1, n, 3), seed=11, scale=10.0)
+    got = jax.jit(lambda: nb.knn_select(coors, k, float("inf")))()
+    ref = jax.jit(
+        lambda: nb.knn_select(coors, k, float("inf"), backend="tiled"))()
+    np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+
+
+def test_segment_sum_kernel_on_chip():
+    from egnn_tpu.ops.pallas.segment import (segment_sum_pallas,
+                                             supports_pallas_segment_sum)
+    E, N, w = 4096, 512, 32
+    data = _rand((E, w), seed=5)
+    seg = jax.random.randint(jax.random.PRNGKey(6), (E,), 0, N)
+    if not supports_pallas_segment_sum(N, w):
+        pytest.skip("shape outside kernel support")
+    got = jax.jit(lambda: segment_sum_pallas(data, seg, N))()
+    ref = jax.jit(lambda: jax.ops.segment_sum(data, seg, N))()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_graph_builder_kernel_on_chip():
+    from egnn_tpu.ops.graph import knn_graph
+    n, k = 2048, 8
+    coors = _rand((n, 3), seed=9, scale=5.0)
+    es = jax.jit(lambda c: knn_graph(c, k), static_argnums=())(coors)
+    senders = np.asarray(es.senders).reshape(n, k)
+    receivers = np.asarray(es.receivers).reshape(n, k)
+    assert (receivers == np.arange(n)[:, None]).all()  # receiver-major
+    # no self loops, all in range
+    assert (senders != np.arange(n)[:, None]).all()
+    assert senders.min() >= 0 and senders.max() < n
+    # spot-check row 0 against a host-computed exact answer
+    c = np.asarray(coors)
+    d0 = ((c[0] - c) ** 2).sum(-1)
+    d0[0] = np.inf
+    expect = np.argsort(d0, kind="stable")[:k]
+    assert set(senders[0]) == set(expect)
+
+
+# ---------------------------------------------------------------------------
+# equivariance at f32 on hardware (loose tol: bf16 MXU passes)
+# ---------------------------------------------------------------------------
+
+ATOL = 3e-2
+
+
+def _equivariance(apply_fn, feats, coors, *args, **kwargs):
+    R = rot(0.3, 0.7, 1.1).astype(jnp.float32)
+    T = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
+    f1, c1 = apply_fn(feats, coors, *args, **kwargs)
+    f2, c2 = apply_fn(feats, coors @ R + T, *args, **kwargs)
+    return (float(jnp.abs(f2 - f1).max()),
+            float(jnp.abs(c2 - (c1 @ R + T)).max()),
+            float(jnp.abs(c1).max()))
+
+
+def test_egnn_layer_equivariance_on_chip():
+    layer = EGNN(dim=64, edge_dim=4)
+    feats = _rand((1, 16, 64), seed=0)
+    coors = _rand((1, 16, 3), seed=1)
+    edges = _rand((1, 16, 16, 4), seed=2)
+    params = jax.jit(layer.init)(jax.random.PRNGKey(0), feats, coors, edges)
+    apply = jax.jit(lambda f, c, e: layer.apply(params, f, c, e))
+    di, de, _ = _equivariance(apply, feats, coors, edges)
+    assert di < ATOL and de < ATOL, (di, de)
+
+
+def test_egnn_knn_equivariance_on_chip():
+    # the kNN path exercises the Pallas selection inside the layer
+    layer = EGNN(dim=32, num_nearest_neighbors=8, norm_coors=True)
+    feats = _rand((1, 256, 32), seed=3)
+    coors = _rand((1, 256, 3), seed=4, scale=3.0)
+    params = jax.jit(layer.init)(jax.random.PRNGKey(1), feats, coors)
+    apply = jax.jit(lambda f, c: layer.apply(params, f, c))
+    di, de, _ = _equivariance(apply, feats, coors)
+    assert di < ATOL and de < ATOL, (di, de)
+
+
+def test_network_equivariance_on_chip():
+    net = EGNNNetwork(depth=2, dim=32, num_tokens=21, num_positions=256,
+                      layer_kwargs=dict(num_nearest_neighbors=8,
+                                        norm_coors=True,
+                                        coor_weights_clamp_value=2.0))
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 256), 0, 21)
+    coors = _rand((1, 256, 3), seed=5, scale=3.0)
+    mask = jnp.ones((1, 256), bool)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), tokens, coors, mask=mask)
+    R = rot(0.2, -0.4, 0.9).astype(jnp.float32)
+    apply = jax.jit(lambda c: net.apply(params, tokens, c, mask=mask))
+    f1, c1 = apply(coors)
+    f2, c2 = apply(coors @ R)
+    assert float(jnp.abs(f2 - f1).max()) < ATOL
+    assert float(jnp.abs(c2 - c1 @ R).max()) < ATOL
+
+
+def test_sparse_layer_equivariance_on_chip():
+    layer = EGNNSparse(feats_dim=16, fourier_features=4)
+    N, E = 64, 256
+    coors = _rand((N, 3), seed=6)
+    feats = _rand((N, 16), seed=7)
+    ei = jax.random.randint(jax.random.PRNGKey(8), (2, E), 0, N)
+    x = jnp.concatenate([coors, feats], axis=-1)
+    params = jax.jit(layer.init)(jax.random.PRNGKey(3), x, ei)
+    apply = jax.jit(lambda xx: layer.apply(params, xx, ei))
+    R = rot(0.5, 0.1, -0.7).astype(jnp.float32)
+    o1 = apply(x)
+    o2 = apply(jnp.concatenate([coors @ R, feats], axis=-1))
+    assert float(jnp.abs(o2[:, 3:] - o1[:, 3:]).max()) < ATOL
+    assert float(jnp.abs(o2[:, :3] - o1[:, :3] @ R).max()) < ATOL
+
+
+# ---------------------------------------------------------------------------
+# training step finiteness on hardware
+# ---------------------------------------------------------------------------
+
+def test_train_step_finite_on_chip():
+    from egnn_tpu.training import TrainState, make_adam, make_denoise_train_step
+    from egnn_tpu.training.data import synthetic_chain_batch
+
+    b = synthetic_chain_batch(jax.random.PRNGKey(0), 1, 256)
+    net = EGNNNetwork(depth=2, dim=32, num_tokens=21, num_positions=256,
+                      layer_kwargs=dict(num_nearest_neighbors=8,
+                                        norm_coors=True,
+                                        coor_weights_clamp_value=2.0))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), b.tokens, b.noised_coors,
+                               adj_mat=b.adj_mat, mask=b.mask)["params"]
+    state = TrainState.create(params, make_adam(1e-3))
+    step = jax.jit(make_denoise_train_step(net))
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, b.tokens, b.noised_coors, b.clean_coors,
+                           b.adj_mat, b.mask)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
