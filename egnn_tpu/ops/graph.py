@@ -32,49 +32,118 @@ class EdgeSet(NamedTuple):
         return jnp.stack([self.senders, self.receivers], axis=0)
 
 
-def _device_knn(coors2d, k, node_mask, loop):
-    """(n, c) -> (idx (n, k) int32, vals (n, k)) nearest neighbors by squared
-    distance, via ops/neighbors.knn_select — the Pallas selection kernels on
-    TPU (full-band / j-tiled; O(tile) memory at ANY n), the jnp (n, n) path
-    on CPU and tiny graphs.
+def _batched_knn(cg, k, mg, loop):
+    """(g, m, c) batched selection -> (idx (g, m, kw) int32 within-graph slot
+    ids, vals (g, m, kw)) via ops/neighbors.knn_select — the Pallas selection
+    kernels on TPU (full-band / j-tiled; O(tile) memory at ANY m), the jnp
+    (m, m) path on CPU and tiny graphs.
 
-    ``loop=False`` selects min(k+1, n) and drops the self slot per row (self
+    ``loop=False`` selects min(k+1, m) and drops the self slot per row (self
     distance 0 always ranks in the top k+1; with >k exact-zero
     duplicate-coordinate ties the last slot is dropped instead — the kept set
-    is still the smallest non-self entries). In the degenerate ``n <= k``
-    regime the output width is n-1 (every other node, still self-free); the
+    is still the smallest non-self entries). In the degenerate ``m <= k``
+    regime the output width is m-1 (every other node, still self-free); the
     builders read the width off the array, so capacity just shrinks.
     Masked pairs carry the kernels' 1e5 ranking fill, so validity is
     ``val < 1e5`` — coordinates are assumed scaled so real squared distances
     stay below 1e5 (the reference's own masked-fill convention,
     egnn_pytorch.py:242).
     """
-    from .neighbors import MASKED_RANK_FILL, knn_select
+    from .neighbors import knn_select
 
-    n = coors2d.shape[0]
-    m1 = None if node_mask is None else node_mask[None]
+    m = cg.shape[1]
     if loop:
-        nbhd = knn_select(coors2d[None], min(k, n), float("inf"), mask=m1)
-        return nbhd.indices[0], nbhd.ranking[0]
+        nbhd = knn_select(cg, min(k, m), float("inf"), mask=mg)
+        return nbhd.indices, nbhd.ranking
 
-    kk = min(k + 1, n)
+    kk = min(k + 1, m)
     kw = kk - 1                                           # self-free width
-    nbhd = knn_select(coors2d[None], kk, float("inf"), mask=m1)
-    idx, vals = nbhd.indices[0], nbhd.ranking[0]          # (n, kk)
-    row = jnp.arange(n, dtype=idx.dtype)[:, None]
+    nbhd = knn_select(cg, kk, float("inf"), mask=mg)
+    idx, vals = nbhd.indices, nbhd.ranking                # (g, m, kk)
+    row = jnp.arange(m, dtype=idx.dtype)[None, :, None]
     keep = idx != row
-    has_self = (~keep).any(axis=1)
-    drop_tail = (~has_self)[:, None] & (jnp.arange(kk) == kk - 1)
+    has_self = (~keep).any(axis=-1)
+    drop_tail = (~has_self)[..., None] & (jnp.arange(kk) == kk - 1)
     keep = keep & ~drop_tail                              # exactly kw kept/row
-    pos = jnp.cumsum(keep, axis=1)                        # 1-based rank kept
-    oh = keep[:, None, :] & (pos[:, None, :] == (jnp.arange(kw)[:, None] + 1))
-    out_idx = jnp.sum(jnp.where(oh, idx[:, None, :], 0), axis=-1)
-    out_vals = jnp.sum(jnp.where(oh, vals[:, None, :], jnp.zeros((), vals.dtype)),
-                       axis=-1)
+    pos = jnp.cumsum(keep, axis=-1)                       # 1-based rank kept
+    oh = keep[:, :, None, :] & (
+        pos[:, :, None, :] == (jnp.arange(kw)[:, None] + 1)
+    )
+    out_idx = jnp.sum(jnp.where(oh, idx[:, :, None, :], 0), axis=-1)
+    out_vals = jnp.sum(
+        jnp.where(oh, vals[:, :, None, :], jnp.zeros((), vals.dtype)), axis=-1
+    )
     return out_idx.astype(jnp.int32), out_vals
 
 
-def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
+def _ragged_caps(batch, max_graph_size, max_graphs):
+    """Static (m_cap, G) for the ragged bucketed path. Derived EXACTLY from a
+    concrete ``batch`` (the common case: graph building happens in the data
+    pipeline, outside jit); under jit the caller must supply both caps."""
+    if max_graph_size is not None and max_graphs is not None:
+        return int(max_graph_size), int(max_graphs)
+    if isinstance(batch, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    bnp = np.asarray(batch)
+    if bnp.size and (np.diff(bnp) < 0).any():
+        raise ValueError(
+            "knn_graph/radius_graph_capped: `batch` must be sorted "
+            "(torch-cluster convention)"
+        )
+    counts = np.bincount(bnp) if bnp.size else np.asarray([0])
+    m_cap = int(max_graph_size) if max_graph_size is not None else int(counts.max())
+    G = int(max_graphs) if max_graphs is not None else int(counts.size)
+    return max(m_cap, 1), max(G, 1)
+
+
+def _ragged_knn(coors, k, node_mask, loop, batch, m_cap, G):
+    """Ragged multi-graph kNN WITHOUT the (n, n) matrix: scatter nodes into a
+    (G, m_cap) padded grid (slot = within-graph position, requires sorted
+    ``batch``), run the batched kernel selection per graph row, and map the
+    winning slots back to global node ids in original node order.
+
+    Memory/compute is O(G * m_cap^2) instead of O(n^2) — at 65k nodes of
+    <=512-node graphs that is 128x less selection work and no 17 GB matrix.
+    Nodes of graphs larger than ``m_cap`` (possible only when explicit caps
+    undershoot; exact caps are derived for concrete batches) are dropped:
+    their rows and their edges come back invalid."""
+    from .neighbors import MASKED_RANK_FILL
+
+    n = coors.shape[0]
+    c = coors.shape[-1]
+    batch = batch.astype(jnp.int32)
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), batch, G)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[batch]
+    ok_node = (pos < m_cap) & (batch < G)
+    if node_mask is not None:
+        ok_node = ok_node & node_mask
+    pos_c = jnp.minimum(pos, m_cap - 1)
+    bat_c = jnp.minimum(batch, G - 1)
+
+    grid_coors = jnp.zeros((G, m_cap, c), coors.dtype).at[bat_c, pos_c].set(
+        jnp.where(ok_node[:, None], coors, 0.0)
+    )
+    grid_mask = jnp.zeros((G, m_cap), bool).at[bat_c, pos_c].set(ok_node)
+    grid_gid = jnp.zeros((G, m_cap), jnp.int32).at[bat_c, pos_c].set(
+        jnp.where(ok_node, jnp.arange(n, dtype=jnp.int32), 0)
+    )
+
+    idx, vals = _batched_knn(grid_coors, k, grid_mask, loop)  # (G, m_cap, kw)
+    kw = idx.shape[-1]
+    # slot -> global id, then read each original node's row off the grid
+    gid = grid_gid[jnp.arange(G)[:, None, None], idx]          # (G, m_cap, kw)
+    idx_n = gid[bat_c, pos_c]                                  # (n, kw)
+    vals_n = vals[bat_c, pos_c]
+    fill = jnp.asarray(MASKED_RANK_FILL, vals_n.dtype)
+    vals_n = jnp.where(ok_node[:, None], vals_n, fill)
+    return idx_n.astype(jnp.int32), vals_n, fill
+
+
+def _knn_indices(coors, k, node_mask, loop, batch, graph_size,
+                 max_graph_size=None, max_graphs=None):
     """Shared kNN machinery for the edge builders. Returns (idx (n, k) with
     GLOBAL node ids, vals (n, k) ranking values, fill (scalar) the
     masked/invalid ranking fill to compare against)."""
@@ -82,8 +151,20 @@ def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
 
     n = coors.shape[0]
     if batch is not None and graph_size is None:
-        # general ragged multi-graph case: jnp (n, n) path (no kernel layout
-        # for arbitrary graph-id vectors; pass graph_size for packed batches)
+        caps = _ragged_caps(batch, max_graph_size, max_graphs)
+        if caps is not None:
+            return _ragged_knn(coors, k, node_mask, loop, batch, *caps)
+        # traced batch without caps: the (n, n) jnp fallback — guarded, it is
+        # exactly the scale trap the kernels exist to avoid
+        if n > 8192:
+            raise ValueError(
+                f"knn_graph with a traced `batch` vector and no "
+                f"max_graph_size/max_graphs caps takes the O(n^2) fallback — "
+                f"refusing at n={n}. Pass static max_graph_size and "
+                f"max_graphs (or graph_size for packed uniform batches), or "
+                f"build edges outside jit where the caps are derived "
+                f"automatically."
+            )
         rel = coors[:, None, :] - coors[None, :, :]
         dist = jnp.sum(rel * rel, axis=-1)
         big = jnp.asarray(1e10, dist.dtype)
@@ -102,38 +183,17 @@ def _knn_indices(coors, k, node_mask, loop, batch, graph_size):
         g, m = n // graph_size, graph_size
         cg = coors.reshape(g, m, -1)
         mg = None if node_mask is None else node_mask.reshape(g, m)
-        from .neighbors import knn_select
-
-        if loop:
-            nbhd = knn_select(cg, min(k, m), float("inf"), mask=mg)
-            idx, vals = nbhd.indices, nbhd.ranking
-            kk_eff = idx.shape[-1]
-        else:
-            kk = min(k + 1, m)
-            kw = kk - 1                                   # self-free width
-            nbhd = knn_select(cg, kk, float("inf"), mask=mg)
-            rowm = jnp.arange(m, dtype=nbhd.indices.dtype)[None, :, None]
-            keep = nbhd.indices != rowm
-            has_self = (~keep).any(axis=-1)
-            drop_tail = (~has_self)[..., None] & (jnp.arange(kk) == kk - 1)
-            keep = keep & ~drop_tail
-            pos = jnp.cumsum(keep, axis=-1)
-            oh = keep[:, :, None, :] & (
-                pos[:, :, None, :] == (jnp.arange(kw)[:, None] + 1)
-            )
-            idx = jnp.sum(jnp.where(oh, nbhd.indices[:, :, None, :], 0), axis=-1)
-            vals = jnp.sum(
-                jnp.where(oh, nbhd.ranking[:, :, None, :],
-                          jnp.zeros((), nbhd.ranking.dtype)),
-                axis=-1,
-            )
-            kk_eff = kw
+        idx, vals = _batched_knn(cg, k, mg, loop)
+        kk_eff = idx.shape[-1]
         base = (jnp.arange(g, dtype=jnp.int32) * m)[:, None, None]
-        idx_g = (idx.astype(jnp.int32) + base).reshape(n, kk_eff)
+        idx_g = (idx + base).reshape(n, kk_eff)
         vals_g = vals.reshape(n, kk_eff)
         fill = MASKED_RANK_FILL if node_mask is not None else jnp.inf
         return idx_g, vals_g, jnp.asarray(fill, vals_g.dtype)
-    idx, vals = _device_knn(coors, k, node_mask, loop)
+    idx, vals = _batched_knn(coors[None], k,
+                             None if node_mask is None else node_mask[None],
+                             loop)
+    idx, vals = idx[0], vals[0]
     # nothing is ranking-filled without a node_mask, so every selected pair
     # is a real neighbor
     fill = MASKED_RANK_FILL if node_mask is not None else jnp.inf
@@ -147,6 +207,8 @@ def knn_graph(
     loop: bool = False,
     batch: Optional[jnp.ndarray] = None,
     graph_size: Optional[int] = None,
+    max_graph_size: Optional[int] = None,
+    max_graphs: Optional[int] = None,
 ) -> EdgeSet:
     """Build a k-nearest-neighbor edge set from (N, c) coordinates.
 
@@ -160,16 +222,22 @@ def knn_graph(
     distance matrix the jnp path would need, which is what makes the sparse
     network's ``recalc_edge`` hook usable at scale.
 
-    ``batch``: optional (N,) graph ids — neighbors are restricted to the
-    same graph (torch-cluster's ``knn_graph(batch=...)`` semantics), so one
-    call builds a whole packed multi-graph batch without cross-graph edges.
+    ``batch``: optional (N,) SORTED graph ids — neighbors are restricted to
+    the same graph (torch-cluster's ``knn_graph(batch=...)`` semantics), so
+    one call builds a whole packed multi-graph batch without cross-graph
+    edges. Ragged batches are bucketed onto a (num_graphs, max_graph_size)
+    padded grid and run the batched kernel selection — O(G * m^2), never the
+    (N, N) matrix. The caps are derived exactly when ``batch`` is concrete
+    (graph building outside jit, the common case); under jit pass BOTH
+    ``max_graph_size`` and ``max_graphs`` statically (a traced batch without
+    caps raises above n=8192 instead of silently allocating O(N^2)).
     ``graph_size``: static per-graph node count for PACKED batches (ids
     ``[0]*gs + [1]*gs + ...``, the PrefetchLoader layout) — the batch then
-    maps onto the batched kernel layout directly; without it a ``batch``
-    vector takes the (N, N) jnp path.
+    maps onto the batched kernel layout directly with zero padding overhead.
     """
     n = coors.shape[0]
-    idx, vals, fill = _knn_indices(coors, k, node_mask, loop, batch, graph_size)
+    idx, vals, fill = _knn_indices(coors, k, node_mask, loop, batch, graph_size,
+                                   max_graph_size, max_graphs)
     kk = idx.shape[-1]
     valid = vals < fill
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk)
@@ -190,6 +258,8 @@ def radius_graph_capped(
     loop: bool = False,
     batch: Optional[jnp.ndarray] = None,
     graph_size: Optional[int] = None,
+    max_graph_size: Optional[int] = None,
+    max_graphs: Optional[int] = None,
 ) -> EdgeSet:
     """Radius graph with a PER-NODE neighbor cap — torch-cluster's
     ``radius_graph(r, max_num_neighbors=...)`` semantics, and the streaming-
@@ -204,7 +274,8 @@ def radius_graph_capped(
     """
     n = coors.shape[0]
     k = max_num_neighbors
-    idx, vals, fill = _knn_indices(coors, k, node_mask, loop, batch, graph_size)
+    idx, vals, fill = _knn_indices(coors, k, node_mask, loop, batch, graph_size,
+                                   max_graph_size, max_graphs)
     kk = idx.shape[-1]
     r2 = jnp.asarray(radius, vals.dtype) ** 2
     valid = (vals <= r2) & (vals < fill)
@@ -229,8 +300,18 @@ def radius_graph(
 
     Pairs beyond capacity are dropped deterministically (closest first), so the
     result is stable under jit. Distances use the squared-Euclidean convention.
+
+    This GLOBAL-budget variant materializes the (N, N) distance matrix and is
+    guarded to small graphs; at scale use ``radius_graph_capped`` (per-node
+    cap, kernel-routed, O(tile) memory at any N).
     """
     n = coors.shape[0]
+    if n > 8192:
+        raise ValueError(
+            f"radius_graph materializes an (N, N) distance matrix — refusing "
+            f"at n={n}. Use radius_graph_capped (per-node neighbor cap, "
+            f"kernel-routed) for large graphs."
+        )
     rel = coors[:, None, :] - coors[None, :, :]
     dist = jnp.sum(rel * rel, axis=-1)
     ok = dist <= radius**2

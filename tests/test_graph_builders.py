@@ -166,3 +166,65 @@ def test_knn_graph_no_self_loops_when_n_leq_k(use_graph_size):
         assert i not in s[i].tolist()
         g0 = (i // n) * n if use_graph_size else 0
         assert set(s[i].tolist()) == set(range(g0, g0 + n)) - {i}
+
+
+@pytest.mark.parametrize("loop", [False, True])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_knn_graph_ragged_batch_bucketed(loop, with_mask):
+    """Ragged (unequal graph sizes) batch vector: the bucketed kernel-layout
+    path must reproduce the dense per-graph reference without ever building
+    the (N, N) matrix (round-3 scale-trap fix)."""
+    rng = np.random.RandomState(4)
+    sizes = [37, 5, 64, 1, 23]
+    n, k = sum(sizes), 6
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 2)
+    batch = jnp.asarray(np.repeat(np.arange(len(sizes)), sizes))
+    node_mask = jnp.asarray(rng.rand(n) > 0.2) if with_mask else None
+    es = knn_graph(coors, k, node_mask=node_mask, loop=loop, batch=batch)
+    ridx, rvals, rvalid = _dense_knn_reference(coors, k, node_mask, loop, batch)
+    kk = np.asarray(es.senders).size // n
+    got = _edges_to_rowsets(es, n, kk)
+    for i in range(n):
+        want = set(ridx[i][rvalid[i]].tolist())
+        # the builder's capacity can be narrower than k in tiny graphs; the
+        # reference keeps exactly the valid same-graph neighbors
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+def test_knn_graph_ragged_batch_under_jit_with_caps():
+    """Traced batch + static caps: bucketed path under jit, identical result
+    to the eager call."""
+    rng = np.random.RandomState(5)
+    sizes = [20, 33, 8]
+    n, k = sum(sizes), 4
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    batch = jnp.asarray(np.repeat(np.arange(len(sizes)), sizes))
+
+    eager = knn_graph(coors, k, batch=batch)
+    jitted = jax.jit(
+        lambda c, b: knn_graph(c, k, batch=b, max_graph_size=33, max_graphs=3)
+    )(coors, batch)
+    np.testing.assert_array_equal(np.asarray(eager.senders), np.asarray(jitted.senders))
+    np.testing.assert_array_equal(np.asarray(eager.mask), np.asarray(jitted.mask))
+
+
+def test_knn_graph_traced_ragged_without_caps_raises_at_scale():
+    n = 8193
+    coors = jnp.zeros((n, 3), jnp.float32)
+    batch = jnp.zeros((n,), jnp.int32)
+    with pytest.raises(ValueError, match="max_graph_size"):
+        jax.jit(lambda c, b: knn_graph(c, 4, batch=b))(coors, batch)
+
+
+def test_knn_graph_unsorted_batch_raises():
+    coors = jnp.zeros((4, 3), jnp.float32)
+    batch = jnp.asarray([0, 1, 0, 1])
+    with pytest.raises(ValueError, match="sorted"):
+        knn_graph(coors, 2, batch=batch)
+
+
+def test_radius_graph_large_n_guard():
+    from egnn_tpu.ops.graph import radius_graph
+    coors = jnp.zeros((8193, 3), jnp.float32)
+    with pytest.raises(ValueError, match="radius_graph_capped"):
+        radius_graph(coors, 1.0, max_edges=128)
