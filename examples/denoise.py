@@ -49,6 +49,14 @@ def main():
                     help="proteins in the generated dataset (--make-data); "
                     "the reference demo's 5x MSE anchor is a few-protein "
                     "memorization regime (egnn_test.ipynb trains one)")
+    ap.add_argument("--from-sidechainnet", type=str, default=None,
+                    metavar="PATH",
+                    help="export real CASP12@30 backbones to a dataset file "
+                    "at PATH first (needs the optional sidechainnet package; "
+                    "mirrors the reference pipeline denoise_sparse.py:34-60) "
+                    "and train on it")
+    ap.add_argument("--casp-version", type=int, default=12)
+    ap.add_argument("--casp-thinning", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -80,6 +88,16 @@ def main():
 
     print(f"devices: {jax.devices()}")
     dataset = None
+    if args.from_sidechainnet:
+        from egnn_tpu.training.datasets import export_sidechainnet
+
+        export_sidechainnet(args.from_sidechainnet,
+                            casp_version=args.casp_version,
+                            thinning=args.casp_thinning,
+                            max_len=args.nodes // 3)
+        args.data = args.from_sidechainnet
+        print(f"exported sidechainnet CASP{args.casp_version}@"
+              f"{args.casp_thinning} to {args.data}")
     if args.make_data:
         make_synthetic_backbone_dataset(args.make_data,
                                         num_proteins=args.data_proteins,

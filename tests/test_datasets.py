@@ -3,6 +3,7 @@ reference batch transform (x3 atom expansion, chain adjacency, masking), and
 PrefetchLoader delivery."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from egnn_tpu.training.data import PrefetchLoader
 from egnn_tpu.training.datasets import (
@@ -62,3 +63,48 @@ def test_prefetch_delivery(tmp_path):
     assert len(batches) == 3
     assert isinstance(batches[0].clean_coors, jnp.ndarray)
     loader.close()
+
+
+def test_qm9_padded_and_flat_layouts(tmp_path):
+    from egnn_tpu.training.datasets import QM9Dataset, make_synthetic_qm9_file
+
+    p = str(tmp_path / "qm9.npz")
+    make_synthetic_qm9_file(p, num_molecules=16, max_atoms=18, seed=3)
+    ds = QM9Dataset.load(p)
+    assert ds.num_molecules == 16 and ds.max_atoms == 18
+    assert ds.tokens.max() <= 5 and ds.tokens.min() >= 0
+
+    # flat layout round-trips to the same arrays
+    N = ds.n_atoms
+    zmap = np.asarray(QM9Dataset.ATOMIC_NUMBERS + (0,))
+    flatR = np.concatenate([ds.positions[i, : N[i]] for i in range(16)])
+    flatZ = np.concatenate([zmap[ds.tokens[i, : N[i]]] for i in range(16)])
+    p2 = str(tmp_path / "qm9_flat.npz")
+    np.savez(p2, R=flatR, Z=flatZ, N=N, U0=ds.targets)
+    ds2 = QM9Dataset.load(p2)
+    A2 = ds2.max_atoms
+    np.testing.assert_allclose(ds2.positions, ds.positions[:, :A2])
+    np.testing.assert_array_equal(ds2.tokens, ds.tokens[:, :A2])
+    np.testing.assert_allclose(ds2.targets, ds.targets)
+
+    rng = np.random.RandomState(0)
+    coors, tok, mask, y = ds.batch(rng, 4, node_capacity=20)
+    assert coors.shape == (4, 20, 3) and tok.shape == (4, 20)
+    assert mask.shape == (4, 20) and y.shape == (4,)
+    assert (tok[~mask] == 5).all()          # padding token
+    assert (mask.sum(1) > 0).all()
+
+    yn, mu, sd = ds.normalized_targets()
+    assert abs(float(yn.mean())) < 1e-5 and abs(float(yn.std()) - 1) < 1e-5
+
+
+def test_sidechainnet_export_gated(tmp_path):
+    from egnn_tpu.training.datasets import export_sidechainnet
+
+    try:
+        import sidechainnet  # noqa: F401
+        pytest.skip("sidechainnet present; export exercised by example")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="sidechainnet"):
+        export_sidechainnet(str(tmp_path / "scn.npz"))
