@@ -97,6 +97,17 @@ class EGNN(nn.Module):
     # unchanged. Applies to the materialized kNN/all-pairs branch AND the
     # streamed/ring paths (cross-chunk accumulators stay f32 there).
     compute_dtype: Any = None
+    # tp_hidden_multiple: round the edge-MLP hidden width (reference shape
+    # 2*(2*dim + 2F + 1 + e), CONGRUENT TO 2 MOD 4 for even dim and F=e=0 —
+    # egnn_pytorch.py:175,179) up to this multiple so tensor parallelism can
+    # shard it (parallel/tp.py needs hidden % model_axis == 0; use
+    # 2*model_axis to keep the post-pad width axis-divisible). The padded
+    # hidden units are EXACTLY inert: zero first-layer columns/bias produce
+    # silu(0)=0 activations, zero second-layer rows consume them, and both
+    # pads receive identically-zero gradients (silu'(0) gated by zero W2
+    # rows), so math — and training trajectories — match the reference
+    # unpadded layer bit-for-bit in expectation. None = reference shapes.
+    tp_hidden_multiple: Optional[int] = None
 
     def _linear(self, name, d_in, d_out):
         w = self.param(f"{name}_w", inits.normal_init(self.init_eps), (d_in, d_out))
@@ -124,14 +135,36 @@ class EGNN(nn.Module):
         edge_dim = self.edge_dim
         ein = dist_dim + 2 * d + edge_dim
         hidden = ein * 2
+        if self.tp_hidden_multiple:
+            tm = self.tp_hidden_multiple
+            hidden_pad = -(-hidden // tm) * tm
+        else:
+            hidden_pad = hidden
 
         num_nearest = self.num_nearest_neighbors
         valid_radius = self.valid_radius
         use_nearest = num_nearest > 0 or self.only_sparse_neighbors
 
         # ---- parameters (flat, named for easy torch-weight injection) ----
-        edge_w1, edge_b1 = self._linear("edge_mlp_0", ein, hidden)
-        edge_w2, edge_b2 = self._linear("edge_mlp_1", hidden, self.m_dim)
+        if hidden_pad != hidden:
+            # zero-padded inert hidden units (see tp_hidden_multiple)
+            edge_w1 = self.param(
+                "edge_mlp_0_w",
+                inits.zero_pad_axis(inits.normal_init(self.init_eps), 1, hidden),
+                (ein, hidden_pad))
+            edge_b1 = self.param(
+                "edge_mlp_0_b",
+                inits.zero_pad_axis(inits.torch_linear_bias_init(ein), 0, hidden),
+                (hidden_pad,))
+            edge_w2 = self.param(
+                "edge_mlp_1_w",
+                inits.zero_pad_axis(inits.normal_init(self.init_eps), 0, hidden),
+                (hidden_pad, self.m_dim))
+            edge_b2 = self.param(
+                "edge_mlp_1_b", inits.torch_linear_bias_init(hidden), (self.m_dim,))
+        else:
+            edge_w1, edge_b1 = self._linear("edge_mlp_0", ein, hidden)
+            edge_w2, edge_b2 = self._linear("edge_mlp_1", hidden, self.m_dim)
         if self.soft_edges:
             gate_w, gate_b = self._linear("edge_gate", self.m_dim, 1)
         if self.norm_feats:

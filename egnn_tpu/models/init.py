@@ -88,3 +88,19 @@ def constant_init(value: float):
 
 def unit_normal_init(key, shape):
     return _box_muller_normal(key, shape, default_float())
+
+
+def zero_pad_axis(base_init, axis: int, valid: int):
+    """Run ``base_init`` on the first ``valid`` entries along ``axis`` and
+    zero the rest — inert-padding init for TP-divisible hidden widths
+    (models/egnn.py tp_hidden_multiple). The base init sees the VALID shape,
+    so the live region's values match the unpadded parameterization draw for
+    draw."""
+
+    def init(key, shape):
+        vshape = tuple(valid if i == axis else s for i, s in enumerate(shape))
+        core = base_init(key, vshape)
+        pad = [(0, s - v) for s, v in zip(shape, vshape)]
+        return jnp.pad(core, pad)
+
+    return init

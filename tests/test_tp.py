@@ -62,3 +62,56 @@ def test_tp_network_grads_match_replicated():
     for a, b in zip(jax.tree_util.tree_leaves(g),
                     jax.tree_util.tree_leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_tp_hidden_padding_inert_and_shardable():
+    """tp_hidden_multiple pads the edge-MLP hidden with EXACTLY inert units:
+    same outputs as the reference-shaped layer (live weights injected), zero
+    gradients on the pads, and the padded params actually shard 8-way."""
+    d, n = 32, 24
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (1, n, d))
+    coors = jax.random.normal(jax.random.PRNGKey(1), (1, n, 3))
+
+    base = EGNN(dim=d)
+    padded = EGNN(dim=d, tp_hidden_multiple=16)  # hidden 130 -> 144
+    pb = base.init(jax.random.PRNGKey(2), feats, coors)["params"]
+    pp = padded.init(jax.random.PRNGKey(2), feats, coors)["params"]
+    hidden = pb["edge_mlp_0_w"].shape[1]
+    hp = pp["edge_mlp_0_w"].shape[1]
+    assert hidden == 130 and hp == 144 and hp % 16 == 0
+
+    # pads are zero at init
+    assert not np.asarray(pp["edge_mlp_0_w"][:, hidden:]).any()
+    assert not np.asarray(pp["edge_mlp_0_b"][hidden:]).any()
+    assert not np.asarray(pp["edge_mlp_1_w"][hidden:]).any()
+
+    # inject the base weights into the live region -> identical outputs
+    pp2 = dict(pp)
+    pp2["edge_mlp_0_w"] = pp["edge_mlp_0_w"].at[:, :hidden].set(pb["edge_mlp_0_w"])
+    pp2["edge_mlp_0_b"] = pp["edge_mlp_0_b"].at[:hidden].set(pb["edge_mlp_0_b"])
+    pp2["edge_mlp_1_w"] = pp["edge_mlp_1_w"].at[:hidden].set(pb["edge_mlp_1_w"])
+    for k in pb:
+        if not k.startswith("edge_mlp"):
+            pp2[k] = pb[k]
+    pp2["edge_mlp_1_b"] = pb["edge_mlp_1_b"]
+    f0, c0 = base.apply({"params": pb}, feats, coors)
+    f1, c1 = padded.apply({"params": pp2}, feats, coors)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=0, atol=1e-12)
+
+    # pad gradients are exactly zero (inert under training)
+    def loss(p):
+        f, c = padded.apply({"params": p}, feats, coors)
+        return (f**2).mean() + (c**2).mean()
+
+    g = jax.grad(loss)({k: jnp.asarray(v) for k, v in pp2.items()})
+    assert not np.asarray(g["edge_mlp_0_w"][:, hidden:]).any()
+    assert not np.asarray(g["edge_mlp_0_b"][hidden:]).any()
+    assert not np.asarray(g["edge_mlp_1_w"][hidden:]).any()
+
+    # and the padded widths shard on an 8-way model axis
+    mesh = make_tp_mesh(data=1, model=8)
+    sh = tp_param_sharding({"params": pp}, mesh)["params"]
+    assert sh["edge_mlp_0_w"].spec == tp_param_spec("edge_mlp_0_w")
+    assert sh["edge_mlp_1_w"].spec == tp_param_spec("edge_mlp_1_w")
