@@ -379,9 +379,14 @@ class EGNN(nn.Module):
             # refine beyond it (ops/pallas/knn.py); selection is stop-gradient,
             # the gather is differentiable, and the O(n^2) pass never enters
             # autodiff.
+            # wide=True: where the packed candidate kernels engage, the
+            # result carries kc = k + slack slots plus a `winner` mask
+            # instead of paying the k-compaction (see knn_select_gather);
+            # this layer is mask-driven, so the slack slots just ride the
+            # pair mask. Exact kernels return k-wide with winner=None.
             nbhd, g = nb.knn_select_gather(
                 coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_b,
-                payload=feats,
+                payload=feats, wide=True,
             )
             c_sp = coors.shape[-1]
             mask_j = None
@@ -434,6 +439,12 @@ class EGNN(nn.Module):
                 pair_mask = (mask[:, :, None] & mask_j) & nbhd.valid
             else:
                 pair_mask = mask[:, :, None] & mask[:, None, :]
+        elif use_nearest and nbhd.winner is not None:
+            # wide kc-slot result without a node mask: the reference sums all
+            # k SELECTED slots unconditionally (egnn_pytorch.py:292 — the
+            # nbhd radius mask applies only through `mask`), so here exactly
+            # the winner slots participate, radius ignored.
+            pair_mask = nbhd.winner
 
         # ---- coordinate update (equivariant) ----
         if self.update_coors:

@@ -26,11 +26,19 @@ MASKED_RANK_FILL = 1e5
 
 
 class Neighborhood(NamedTuple):
-    """Static-shape top-k neighborhood of each node."""
+    """Static-shape top-k neighborhood of each node.
+
+    ``winner`` is set only by the WIDE packed-candidate path
+    (``knn_select_gather(wide=True)``): the arrays then carry kc = k + slack
+    slots per row and ``winner`` marks the exact top-k among them (the other
+    slots are certificate slack and must be masked out of every aggregation);
+    ``valid`` is ``winner & (ranking <= valid_radius)`` there. On the
+    ordinary k-wide paths ``winner`` is None."""
 
     indices: jnp.ndarray  # (b, n, k) int32 neighbor ids (j-dimension)
     ranking: jnp.ndarray  # (b, n, k) the ranking values that won the top-k
     valid: jnp.ndarray    # (b, n, k) bool: ranking <= valid_radius
+    winner: Optional[jnp.ndarray] = None  # (b, n, kc) bool, wide path only
 
 
 def max_degree(adj_mat: jnp.ndarray) -> int:
@@ -147,6 +155,7 @@ def knn_select_gather(
     payload: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     interpret: bool = False,
+    wide: bool = False,
 ) -> tuple[Neighborhood, Optional[jnp.ndarray]]:
     """Neighbor selection with an optional FUSED payload gather.
 
@@ -169,6 +178,23 @@ def knn_select_gather(
       kernel via lax.cond — results are always exact, tie order identical
       to jax.lax.top_k.
     - CPU/GPU: the jnp reference path (f64-capable, bit-parity with tests).
+
+    ``wide=True`` (only meaningful where a packed path engages): skip the
+    k-compaction entirely and return kc-SLOT arrays with a ``winner`` mask
+    marking the exact top-k — the consumer aggregates over kc slots with the
+    mask applied. This removes the (b, n, k, kc, w) where+sum compaction and
+    the (b, n, kc) top_k from the refine (the two measured overheads that
+    made the packed path lose at n<=16384 at the layer level); the EGNN
+    layer is already mask-driven, so the extra slack slots cost only
+    kc/k (~25%) wider elementwise pipeline. Exactness: the winner set is
+    derived from the candidate keys — slots with key < keys[k-1] are
+    winners outright (monotonic coarse keys: strictly smaller key implies
+    strictly smaller exact ranking), and the boundary tie group at
+    keys[k-1] is resolved by exact (ranking, column) lex order, which is
+    precisely jax.lax.top_k's global tie order. Rows the coverage
+    certificate rejects fall back to the exact kernel (winner = first k
+    slots). When no packed path engages, the ordinary k-wide result is
+    returned with ``winner=None`` — callers branch on it.
     """
     from .pallas.knn import (
         PACKED_MASK_SENTINEL,
@@ -256,6 +282,36 @@ def knn_select_gather(
             pair_ok = mask[:, :, None] & (gj[..., c] > 0.5)
             rank = jnp.where(pair_ok, rank, jnp.float32(MASKED_RANK_FILL))
         rank = jnp.where(cols >= n, jnp.float32("inf"), rank)
+
+        if wide:
+            # ---- winner mask over the kc slots (no top_k, no compaction) --
+            # Slots strictly below the k-th candidate's key are winners
+            # outright; the boundary tie group resolves by exact
+            # (rank, column) lex order = lax.top_k's global tie order
+            # (within equal keys, candidate slots are column-ascending).
+            kb = keys[..., k - 1 : k]                        # (b, n, 1)
+            definite = keys < kb
+            group = keys == kb
+            t = k - definite.sum(axis=-1, keepdims=True)     # (b, n, 1)
+            # lex_less[..., s', s]: group member s' precedes s
+            r_sp = rank[..., :, None]                        # (b, n, kc, 1)=s'
+            r_s = rank[..., None, :]                         # (b, n, 1, kc)=s
+            sl = jnp.arange(kc, dtype=jnp.int32)
+            slot_lt = sl[:, None] < sl[None, :]              # (kc, kc) s'<s
+            lex_less = (
+                group[..., :, None] & group[..., None, :]
+                & ((r_sp < r_s) | ((r_sp == r_s) & slot_lt))
+            )
+            before = lex_less.sum(axis=-2)                   # (b, n, kc)
+            winner_packed = definite | (group & (before < t))
+            # fallback branch: the exact kernel's cols occupy slots [0, k)
+            winner = jnp.where(ok, winner_packed, sl[None, None, :] < k)
+            vals = rank.astype(coors.dtype)
+            valid = winner & (vals <= jnp.asarray(valid_radius, vals.dtype))
+            nbhd = Neighborhood(indices=safe_cols, ranking=vals, valid=valid,
+                                winner=winner)
+            return nbhd, (g if payload is not None else None)
+
         neg, order = jax.lax.top_k(-rank, k)
         vals = (-neg).astype(coors.dtype)
         # Slot-select the k winners out of the kc candidates with exact

@@ -361,3 +361,101 @@ def test_packed_tiled_non_power_of_two_n(with_mask):
     from egnn_tpu.ops.pallas.knn import PACKED_MASK_SENTINEL_TILED
     real = np.asarray(keys) < PACKED_MASK_SENTINEL_TILED
     assert (cset[real] < n).all()
+
+
+# ---------------------------------------------------------------------------
+# WIDE packed path: kc slots + winner mask, no compaction (round 3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("backend", ["packed", "packed_tiled"])
+def test_wide_winner_mask_matches_reference(with_mask, backend):
+    """wide=True returns kc slots + a winner mask; the winner SET, their
+    ranking values, the validity set, and winner-masked aggregates must all
+    equal the compacted reference (aggregation is order-invariant, so slot
+    order need not match top_k order)."""
+    n, k = 256, 8
+    kc = k + nb.CANDIDATE_SLACK
+    coors, mask, _ = _random_case(
+        hash(("wide", with_mask, backend)) % 2**31, 2, n, 3, k, with_mask,
+        False, integer_coords=False,
+    )
+    payload = jnp.asarray(
+        np.random.RandomState(17).randn(2, n, 5).astype(np.float32))
+    nbhd, g = nb.knn_select_gather(
+        coors, k, valid_radius=2.5, mask=mask, payload=payload,
+        backend=backend, interpret=True, wide=True,
+    )
+    ref = _jnp_reference(coors, k, valid_radius=2.5, mask=mask)
+
+    assert nbhd.indices.shape == (2, n, kc)
+    assert nbhd.winner is not None and nbhd.winner.shape == (2, n, kc)
+    w = np.asarray(nbhd.winner)
+    assert (w.sum(-1) == k).all()
+
+    idx = np.asarray(nbhd.indices)
+    rk = np.asarray(nbhd.ranking)
+    vd = np.asarray(nbhd.valid)
+    ridx = np.asarray(ref.indices)
+    rrk = np.asarray(ref.ranking)
+    rvd = np.asarray(ref.valid)
+    for bi in range(2):
+        for i in range(n):
+            assert set(idx[bi, i][w[bi, i]].tolist()) == set(ridx[bi, i].tolist())
+            # winner ranking multiset matches
+            np.testing.assert_allclose(
+                np.sort(rk[bi, i][w[bi, i]]), np.sort(rrk[bi, i]),
+                rtol=1e-6, atol=1e-6)
+            # validity set (indices where valid) matches
+            assert (set(idx[bi, i][vd[bi, i]].tolist())
+                    == set(ridx[bi, i][rvd[bi, i]].tolist()))
+
+    # winner-masked payload aggregate == compacted reference aggregate
+    gp = np.asarray(g[..., -5:])
+    agg_wide = (gp * w[..., None]).sum(axis=2)
+    ref_rows = np.asarray(
+        jax.vmap(lambda p, i: p[i])(payload, ref.indices))
+    np.testing.assert_allclose(agg_wide, ref_rows.sum(axis=2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_wide_tie_pileup_fallback_winner_is_prefix():
+    """Certificate-rejecting tie pileups: the wide path's fallback marks the
+    exact kernel's k slots (the kc-pad prefix) as winners."""
+    n, k = 128, 8
+    rng = np.random.RandomState(3)
+    base = rng.randint(-2, 3, size=(1, 32, 3)).astype(np.float32)
+    coors = jnp.asarray(np.tile(base, (1, 4, 1)))
+    nbhd, _ = nb.knn_select_gather(
+        coors, k, float("inf"), backend="packed", interpret=True, wide=True,
+    )
+    ref = _jnp_reference(coors, k, float("inf"))
+    w = np.asarray(nbhd.winner)
+    kc = k + nb.CANDIDATE_SLACK
+    assert (w == (np.arange(kc) < k)[None, None]).all()
+    np.testing.assert_array_equal(
+        np.asarray(nbhd.indices[..., :k]), np.asarray(ref.indices))
+
+
+def test_wide_boundary_tie_group_exact():
+    """Construct rows whose k-th and (k+1)-th candidates tie in the COARSE
+    key but differ in exact rank: the winner mask must resolve the boundary
+    by exact (rank, column) order, not candidate order."""
+    n, k = 128, 4
+    rng = np.random.RandomState(9)
+    coors_np = rng.randn(1, n, 3).astype(np.float32) * 2
+    # make nodes 100..103 almost-equidistant from node 0: identical coarse
+    # key (perturb in the 9th+ mantissa bit), distinct exact distances
+    base = coors_np[0, 0] + np.asarray([2.0, 0.0, 0.0], np.float32)
+    for t, eps in enumerate([3e-6, 1e-6, 2e-6, 0.0]):
+        coors_np[0, 100 + t] = base + np.asarray([eps, 0, 0], np.float32)
+    coors = jnp.asarray(coors_np)
+    nbhd, _ = nb.knn_select_gather(
+        coors, k, float("inf"), backend="packed", interpret=True, wide=True)
+    ref = _jnp_reference(coors, k, float("inf"))
+    w = np.asarray(nbhd.winner)
+    idx = np.asarray(nbhd.indices)
+    ridx = np.asarray(ref.indices)
+    for i in range(n):
+        assert set(idx[0, i][w[0, i]].tolist()) == set(ridx[0, i].tolist()), i
