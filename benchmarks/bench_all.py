@@ -114,9 +114,17 @@ def config5_sparse_molecules():
                   embedding_nums=[5], embedding_dims=[dim],
                   fourier_features=4, norm_feats=True, norm_coors=True)
     out = {}
-    # general segment path, and the scatter-free uniform-degree path the
-    # kNN layout enables (models/egnn_sparse.py:uniform_degree)
-    for label, extra in (("", {}), ("_uniformk", dict(uniform_degree=K))):
+    # Arms: general segment path; uniform-degree auto (= the fused Pallas
+    # pair pipeline on TPU, round 3); fused forced off (the round-2 measured
+    # path); forced-off + bf16 message MLPs.
+    for label, extra in (
+        ("", {}),
+        ("_uniformk", dict(uniform_degree=K)),
+        ("_uniformk_nofuse", dict(uniform_degree=K, fused_uniform=False)),
+        ("_uniformk_nofuse_bf16",
+         dict(uniform_degree=K, fused_uniform=False,
+              compute_dtype=jnp.bfloat16)),
+    ):
         net = EGNNSparseNetwork(**common, **extra)
         params = net.init(key, x, ei, batch=batch, edge_mask=em,
                           num_graphs=G)["params"]

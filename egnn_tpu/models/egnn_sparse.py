@@ -85,6 +85,13 @@ class EGNNSparse(nn.Module):
     # partition_edges repacks rows by receiver id and breaks the positional
     # contract.
     uniform_degree: Optional[int] = None
+    # fused_uniform: run the whole per-edge pipeline as ONE Pallas kernel on
+    # the uniform-degree layout (ops/pallas/pair_messages.py). None = auto
+    # (on when the backend is TPU and the config is supported: edge_attr_dim
+    # == 0, both updates on, aggr in add/sum/mean, k a sublane multiple);
+    # True forces it (interpret-mode off-TPU — slow, for parity tests);
+    # False forces the XLA per-edge path.
+    fused_uniform: Optional[bool] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
     # When set, this layer must run inside shard_map with nodes sharded on
@@ -163,6 +170,80 @@ class EGNNSparse(nn.Module):
             x_full = jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
         else:
             x_full = x
+
+        # ---- fused uniform-degree pair pipeline (ops/pallas/pair_messages) ----
+        # The uniform receiver-major layout IS the dense path's pre-gathered
+        # i-major pair layout (row e belongs to receiver e//uk), so the whole
+        # per-edge pipeline — geometry, Fourier, edge MLP, gate, coors-weight
+        # MLP, CoorsNorm, clamp, masking, both k-reductions — runs as one
+        # Pallas kernel over the gathered sender rows. XLA keeps the row
+        # gather (and its scatter-add transpose in the backward). Auto on TPU
+        # (fused_uniform=None); forcing True off-TPU runs the interpret-mode
+        # kernel (slow, for parity tests).
+        want_fused = (
+            self.fused_uniform
+            if self.fused_uniform is not None
+            else jax.default_backend() == "tpu"
+        )
+        use_fused = False
+        if want_fused and uk is not None:
+            from ..ops.pallas.pair_messages import (
+                fused_pair_messages, supports_fused_pair_messages)
+            on_tpu = jax.default_backend() == "tpu"
+            use_fused = (
+                self.edge_attr_dim == 0
+                and self.update_coors and self.update_feats
+                and (self.dropout == 0.0 or deterministic)
+                and self.aggr in ("add", "sum", "mean")
+                and supports_fused_pair_messages(
+                    n, uk, hidden, self.m_dim, d,
+                    backend="tpu" if self.fused_uniform else None)
+            )
+        if use_fused:
+            xg_j = gather_rows(x_full, j_idx)          # (E, pos+feats)
+            cj = xg_j[None, :, : self.pos_dim]
+            fj = xg_j[None, :, self.pos_dim:]
+            proj_i = (feats @ edge_w1[:d] + edge_b1)[None]    # (1, N, hidden)
+            pv = (
+                edge_mask.astype(jnp.float32)[None, :, None]
+                if edge_mask is not None
+                else jnp.ones((1, n * uk, 1), jnp.float32)
+            )
+            dummy1 = jnp.zeros((self.m_dim, 1), coors.dtype)
+            m_sum, cd = fused_pair_messages(
+                coors[None], cj, fj, proj_i, pv,
+                self.fourier_features, bool(self.soft_edge), self.norm_coors,
+                self.coor_weights_clamp_value, 1e-8,
+                not on_tpu,          # interpret off-TPU (parity tests)
+                on_tpu,              # mxu_bf16: XLA-default MXU mode on TPU
+                True,                # gate_feats_only: sparse gate semantics
+                edge_w1[d:2 * d], edge_w1[2 * d:], edge_w2, edge_b2,
+                gate_w if self.soft_edge else dummy1,
+                gate_b if self.soft_edge else dummy1[:1, 0],
+                coors_w1, coors_b1, coors_w2, coors_b2,
+                cn_scale if self.norm_coors else jnp.ones((1,), coors.dtype),
+            )
+            m_i, cd = m_sum[0], cd[0]
+            if self.aggr == "mean":
+                if edge_mask is not None:
+                    cnt = jnp.maximum(
+                        pv[0].reshape(n, uk).sum(axis=1, keepdims=True), 1.0)
+                else:
+                    cnt = jnp.float32(uk)
+                m_i, cd = m_i / cnt, cd / cnt
+            # sparse sign convention: rel = c_j - c_i = -(kernel rel), so the
+            # aggregated kernel delta enters with a minus
+            coors_out = coors - cd.astype(coors.dtype)
+            m_i = m_i.astype(feats.dtype)
+            return jnp.concatenate(
+                [coors_out,
+                 self._feature_update(
+                     feats, m_i, batch, num_graphs, node_mask, drop,
+                     deterministic,
+                     (nn_gamma, nn_beta) if self.norm_feats else None,
+                     (node_w1, node_b1, node_w2, node_b2))],
+                axis=-1)
+
         # ONE row gather per edge endpoint carrying [coors | feats]; narrow
         # gathers are latency-bound on TPU and each separate gather costs a
         # separate scatter-add transpose in the backward (gather_rows routes
@@ -250,24 +331,35 @@ class EGNNSparse(nn.Module):
                 m_i = segment_aggregate(
                     self.aggr, m_ij.astype(feats.dtype), i_idx, n, mask=edge_mask
                 )
-            if self.norm_feats:
-                # node_mask keeps padded capacity slots out of the per-graph
-                # statistics (the reference's PyG LayerNorm never sees
-                # padding because PyG doesn't pad; static-capacity batches
-                # must mask it explicitly)
-                hidden_feats = graph_layer_norm(
-                    feats, batch, num_graphs, nn_gamma, nn_beta,
-                    node_mask=node_mask, axis_name=self.shard_axis,
-                )
-            else:
-                hidden_feats = feats
-            h = jnp.concatenate([hidden_feats, m_i], axis=-1)
-            h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
-            hidden_out = feats + (h @ node_w2 + node_b2)
+            hidden_out = self._feature_update(
+                feats, m_i, batch, num_graphs, node_mask, drop, deterministic,
+                (nn_gamma, nn_beta) if self.norm_feats else None,
+                (node_w1, node_b1, node_w2, node_b2))
         else:
             hidden_out = feats
 
         return jnp.concatenate([coors_out, hidden_out], axis=-1)
+
+    def _feature_update(self, feats, m_i, batch, num_graphs, node_mask, drop,
+                        deterministic, norm_params, mlp_params):
+        """Shared node-update tail: optional graph-LayerNorm, then the node
+        MLP residual (egnn_pytorch_geometric.py:259-266)."""
+        node_w1, node_b1, node_w2, node_b2 = mlp_params
+        if norm_params is not None:
+            # node_mask keeps padded capacity slots out of the per-graph
+            # statistics (the reference's PyG LayerNorm never sees
+            # padding because PyG doesn't pad; static-capacity batches
+            # must mask it explicitly)
+            nn_gamma, nn_beta = norm_params
+            hidden_feats = graph_layer_norm(
+                feats, batch, num_graphs, nn_gamma, nn_beta,
+                node_mask=node_mask, axis_name=self.shard_axis,
+            )
+        else:
+            hidden_feats = feats
+        h = jnp.concatenate([hidden_feats, m_i], axis=-1)
+        h = _silu(drop(h @ node_w1 + node_b1, deterministic=deterministic))
+        return feats + (h @ node_w2 + node_b2)
 
 
 class AttentionSparse(nn.Module):
@@ -461,6 +553,11 @@ class EGNNSparseNetwork(nn.Module):
     # EGNNSparse.uniform_degree): scatter-free aggregation for kNN-built
     # graphs. A recalc_edge hook must preserve the layout (knn_graph does).
     uniform_degree: Optional[int] = None
+    # Per-layer passthroughs (see the EGNNSparse fields of the same name):
+    # mixed-precision message path, and the fused uniform-degree Pallas
+    # pipeline (None = auto on TPU).
+    compute_dtype: Any = None
+    fused_uniform: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -547,6 +644,8 @@ class EGNNSparseNetwork(nn.Module):
                 aggr=self.aggr,
                 shard_axis=self.shard_axis,
                 uniform_degree=self.uniform_degree,
+                compute_dtype=self.compute_dtype,
+                fused_uniform=self.fused_uniform,
                 name=f"mpnn_{i}",
             )(
                 x,

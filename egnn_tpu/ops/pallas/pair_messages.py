@@ -151,7 +151,11 @@ def _tile_forward(refs, *, k, ti, opts):
         zg = gate = None
         msg = m0
 
-    cz1 = mm(msg, cw1_ref[:, :]) + cb1_ref[0, :]
+    # gate_feats_only = the sparse-path gate semantics
+    # (egnn_pytorch_geometric.py:254-257): the coordinate-weight MLP consumes
+    # the UNGATED messages; only the feature aggregation sees the gate.
+    cmsg = m0 if opts.get("gate_feats_only") else msg
+    cz1 = mm(cmsg, cw1_ref[:, :]) + cb1_ref[0, :]
     cs1 = cz1 * jax.nn.sigmoid(cz1)                        # (R, 4m)
     wz = mm(cs1, cw2_ref[:, :]) + cb2_ref[0, :]            # (R, 1)
 
@@ -172,7 +176,7 @@ def _tile_forward(refs, *, k, ti, opts):
 
     return dict(
         cj=cj, fj=fj, rel=rel, dist=dist, distf=distf,
-        h1=h1, s1=s1, z2=z2, m0=m0, zg=zg, gate=gate, msg=msg,
+        h1=h1, s1=s1, z2=z2, m0=m0, zg=zg, gate=gate, msg=msg, cmsg=cmsg,
         cz1=cz1, cs1=cs1, wz=wz, pv=pv, wm=wm, w=w, nrm=nrm, rel_n=rel_n,
     )
 
@@ -247,14 +251,19 @@ def _bwd_kernel(*refs, k, ti, opts):
     else:
         d_rel = d_rel_n
 
-    # coordinate-weight MLP backward
+    # coordinate-weight MLP backward (consumes cmsg: msg, or m0 when
+    # gate_feats_only — see _tile_forward)
     d_cs1 = dG(d_wz, cw2_ref[:, :], B_)                     # (R, 4m)
     d_cw2_ref[:, :] += dG(t["cs1"], d_wz, T_)
     d_cb2_ref[0, :] += jnp.sum(d_wz, axis=0)
     d_cz1 = d_cs1 * _dsilu(t["cz1"])
-    d_msg = d_msg + dG(d_cz1, cw1_ref[:, :], B_)
-    d_cw1_ref[:, :] += dG(t["msg"], d_cz1, T_)
+    d_cmsg = dG(d_cz1, cw1_ref[:, :], B_)
+    d_cw1_ref[:, :] += dG(t["cmsg"], d_cz1, T_)
     d_cb1_ref[0, :] += jnp.sum(d_cz1, axis=0)
+
+    gfo = opts.get("gate_feats_only", False)
+    if not gfo:
+        d_msg = d_msg + d_cmsg
 
     # soft gate backward
     if opts["soft_edges"]:
@@ -264,8 +273,11 @@ def _bwd_kernel(*refs, k, ti, opts):
         d_m0 = d_m0 + dG(d_zg, gw_ref[:, :], B_)
         d_gw_ref[:, :] += dG(t["m0"], d_zg, T_)
         d_gb_ref[0, :] += jnp.sum(d_zg, axis=0)
+        if gfo:
+            d_m0 = d_m0 + d_cmsg   # the ungated coors-MLP branch
     else:
-        d_m0 = d_msg
+        # without a gate cmsg == msg == m0; the gfo split is a no-op
+        d_m0 = d_msg + d_cmsg if gfo else d_msg
 
     # edge MLP backward
     d_z2 = d_m0 * _dsilu(t["z2"])
@@ -334,10 +346,11 @@ def _weights_2d(wj, wd, w2, b2, gw, gb, cw1, cb1, cw2, cb2, scale):
 @functools.partial(
     jax.jit,
     static_argnames=("fourier", "soft_edges", "norm_coors", "clamp", "eps",
-                     "interpret", "mxu_bf16"),
+                     "interpret", "mxu_bf16", "gate_feats_only"),
 )
 def _fwd_call(coors, cj, fj, proj_i, pv, weights, *, fourier, soft_edges,
-              norm_coors, clamp, eps, interpret, mxu_bf16):
+              norm_coors, clamp, eps, interpret, mxu_bf16,
+              gate_feats_only=False):
     b, n, c = coors.shape
     k = cj.shape[1] // n
     d = fj.shape[-1]
@@ -349,7 +362,8 @@ def _fwd_call(coors, cj, fj, proj_i, pv, weights, *, fourier, soft_edges,
     w2d = _weights_2d(*weights)
     ti = _pick_ti(n_pad, k, h, m, d, c)
     opts = dict(fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
-                clamp=clamp, eps=eps, mxu_bf16=mxu_bf16)
+                clamp=clamp, eps=eps, mxu_bf16=mxu_bf16,
+                gate_feats_only=gate_feats_only)
     kern = functools.partial(_fwd_kernel, k=k, ti=ti, opts=opts)
     m_i, cd = pl.pallas_call(
         kern,
@@ -371,10 +385,11 @@ def _fwd_call(coors, cj, fj, proj_i, pv, weights, *, fourier, soft_edges,
 @functools.partial(
     jax.jit,
     static_argnames=("fourier", "soft_edges", "norm_coors", "clamp", "eps",
-                     "interpret", "mxu_bf16"),
+                     "interpret", "mxu_bf16", "gate_feats_only"),
 )
 def _bwd_call(coors, cj, fj, proj_i, pv, weights, g_mi, g_cd, *, fourier,
-              soft_edges, norm_coors, clamp, eps, interpret, mxu_bf16):
+              soft_edges, norm_coors, clamp, eps, interpret, mxu_bf16,
+              gate_feats_only=False):
     b, n, c = coors.shape
     k = cj.shape[1] // n
     d = fj.shape[-1]
@@ -387,7 +402,8 @@ def _bwd_call(coors, cj, fj, proj_i, pv, weights, g_mi, g_cd, *, fourier,
     ti = _pick_ti(n_pad, k, h, m, d, c)
     R = ti * k
     opts = dict(fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
-                clamp=clamp, eps=eps, mxu_bf16=mxu_bf16)
+                clamp=clamp, eps=eps, mxu_bf16=mxu_bf16,
+                gate_feats_only=gate_feats_only)
     padn = lambda x: jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pd), (0, 0)))
     kern = functools.partial(_bwd_kernel, k=k, ti=ti, opts=opts)
     shp = jax.ShapeDtypeStruct
@@ -436,11 +452,11 @@ def _bwd_call(coors, cj, fj, proj_i, pv, weights, g_mi, g_cd, *, fourier,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def fused_pair_messages(
     coors, cj, fj, proj_i, pv, fourier: int, soft_edges: bool,
     norm_coors: bool, clamp: Optional[float], eps: float, interpret: bool,
-    mxu_bf16: bool = False,
+    mxu_bf16: bool = False, gate_feats_only: bool = False,
     *weights,
 ):
     """Fused pre-gathered pair pipeline.
@@ -454,6 +470,11 @@ def fused_pair_messages(
       weights: (wj, wd, w2, b2, gw, gb, cw1, cb1, cw2, cb2, scale); pass
         zero-shaped dummies for unused options (gw/gb when not soft_edges,
         scale when not norm_coors) — their grads come back zero.
+      gate_feats_only: sparse-path gate semantics
+        (egnn_pytorch_geometric.py:254-257) — the coordinate-weight MLP
+        consumes the UNGATED messages; only m_i sees the gate. The sparse
+        sign convention (rel = c_j - c_i) is NOT a kernel option: negate
+        coors_delta outside (autodiff flips the cotangent for free).
 
     Returns (m_i (b, n, m) = sum of pv-masked messages, coors_delta (b, n, c)).
     Masked-mean pooling: divide by pv counts outside.
@@ -462,27 +483,30 @@ def fused_pair_messages(
         coors, cj, fj, proj_i, pv, weights,
         fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
         clamp=clamp, eps=eps, interpret=interpret, mxu_bf16=mxu_bf16,
+        gate_feats_only=gate_feats_only,
     )
 
 
 def _vjp_fwd(coors, cj, fj, proj_i, pv, fourier, soft_edges, norm_coors,
-             clamp, eps, interpret, mxu_bf16, *weights):
+             clamp, eps, interpret, mxu_bf16, gate_feats_only, *weights):
     out = _fwd_call(
         coors, cj, fj, proj_i, pv, weights,
         fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
         clamp=clamp, eps=eps, interpret=interpret, mxu_bf16=mxu_bf16,
+        gate_feats_only=gate_feats_only,
     )
     return out, (coors, cj, fj, proj_i, pv, weights)
 
 
 def _vjp_bwd(fourier, soft_edges, norm_coors, clamp, eps, interpret,
-             mxu_bf16, res, g):
+             mxu_bf16, gate_feats_only, res, g):
     coors, cj, fj, proj_i, pv, weights = res
     g_mi, g_cd = g
     d_ci, d_cj, d_fj, d_pi, d_weights = _bwd_call(
         coors, cj, fj, proj_i, pv, weights, g_mi, g_cd,
         fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
         clamp=clamp, eps=eps, interpret=interpret, mxu_bf16=mxu_bf16,
+        gate_feats_only=gate_feats_only,
     )
     return (d_ci, d_cj, d_fj, d_pi, None) + tuple(d_weights)
 
