@@ -35,7 +35,7 @@ def bench_tpu() -> float:
     import jax.numpy as jnp
 
     from egnn_tpu import EGNNNetwork
-    from egnn_tpu.training import TrainState, make_adam, make_denoise_train_step
+    from egnn_tpu.training import TrainState, make_fused_adam, make_denoise_train_step
     from egnn_tpu.training.data import synthetic_chain_batch
 
     net = EGNNNetwork(
@@ -49,7 +49,10 @@ def bench_tpu() -> float:
     params = jax.jit(net.init)(
         key, b.tokens, b.noised_coors, adj_mat=b.adj_mat, mask=b.mask
     )["params"]
-    state = TrainState.create(params, make_adam(1e-3))
+    # Fused flat-buffer Adam: identical math to optax.adam (trajectory-
+    # pinned in tests), ~8 fused ops over one buffer instead of ~8 x
+    # num_leaves launch-bound tiny kernels.
+    state = TrainState.create(params, make_fused_adam(1e-3))
     step_fn = make_denoise_train_step(net)
 
     # All timed steps run inside ONE jitted lax.scan per length so remote-

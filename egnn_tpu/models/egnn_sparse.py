@@ -571,7 +571,16 @@ class EGNNSparseNetwork(nn.Module):
         node_mask: Optional[jnp.ndarray] = None,
         recalc_edge: Optional[Callable] = None,
         deterministic: bool = True,
+        bsize: Optional[int] = None,
     ) -> jnp.ndarray:
+        # ``bsize`` mirrors the reference's vestigial forward kwarg
+        # (egnn_pytorch_geometric.py:395,423 — PyG propagate's ``size`` hint).
+        # Shapes are static here, so it is accepted for signature parity and
+        # validated only.
+        if bsize is not None and bsize != x.shape[0]:
+            raise ValueError(
+                f"bsize={bsize} disagrees with the static node count "
+                f"{x.shape[0]}; static-capacity batches size via padding")
         # Embedding-adjusted dims: each categorical column is replaced by its
         # embedding (feats_dim += emb_dim - 1 per table,
         # egnn_pytorch_geometric.py:334-342).

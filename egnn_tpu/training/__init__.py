@@ -2,6 +2,7 @@ from .checkpoint import CheckpointManager
 from .state import (
     TrainState,
     make_adam,
+    make_fused_adam,
     make_denoise_train_step,
     make_partitioned_sparse_train_step,
     make_ring_denoise_train_step,
@@ -13,6 +14,7 @@ __all__ = [
     "CheckpointManager",
     "TrainState",
     "make_adam",
+    "make_fused_adam",
     "make_denoise_train_step",
     "make_partitioned_sparse_train_step",
     "make_ring_denoise_train_step",

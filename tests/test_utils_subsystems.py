@@ -146,3 +146,36 @@ def test_prefetch_loader_worker_error_surfaces():
     with pytest.raises(RuntimeError, match="worker failed"):
         next(iter(loader))
     loader.close()
+
+
+def test_fused_adam_matches_optax():
+    """make_fused_adam (flat-buffer moments) computes the same Adam math as
+    optax.adam; trajectories must track to float-reordering tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from egnn_tpu.training import TrainState, make_fused_adam
+
+    params = {
+        "a": {"w": jnp.array([[0.5, -1.0], [2.0, 0.1]], jnp.float32),
+              "b": jnp.zeros((2,), jnp.float32)},
+        "c": jnp.array([3.0, -0.2, 0.7], jnp.float32),
+    }
+
+    def loss(p):
+        return (p["a"]["w"] ** 2).sum() + jnp.abs(p["a"]["b"] - 1.0).sum() + (
+            jnp.sin(p["c"]) ** 2).sum()
+
+    s_ref = TrainState.create(params, optax.adam(3e-2))
+    s_fused = TrainState.create(params, make_fused_adam(3e-2))
+
+    @jax.jit
+    def step(st):
+        return st.apply_gradients(jax.grad(loss)(st.params))
+
+    for _ in range(25):
+        s_ref, s_fused = step(s_ref), step(s_fused)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        s_fused.params, s_ref.params)
