@@ -190,6 +190,35 @@ def test_sparse_layer_equivariance_on_chip():
     assert float(jnp.abs(o2[:, :3] - o1[:, :3] @ R).max()) < ATOL
 
 
+def test_fused_uniform_sparse_parity_on_chip():
+    """The Mosaic-compiled fused pair pipeline (auto default for
+    uniform_degree on TPU) vs the XLA per-edge path, fwd + coordinate
+    grads. Both run bf16 MXU passes, but op order differs — loose tol."""
+    N, K, D = 128, 8, 16
+    i = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
+    j = (i + 1 + jnp.tile(jnp.arange(K, dtype=jnp.int32), N)) % N
+    ei = jnp.stack([j, i])
+    x = jnp.concatenate([_rand((N, 3), 0), 0.5 * _rand((N, D), 1)], axis=-1)
+    common = dict(feats_dim=D, uniform_degree=K, soft_edge=1,
+                  norm_coors=True, fourier_features=2,
+                  coor_weights_clamp_value=2.0)
+    fused = EGNNSparse(**common)                       # auto -> kernel on TPU
+    plain = EGNNSparse(**common, fused_uniform=False)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(2), x, ei)
+
+    def loss(net, xx):
+        o = net.apply(params, xx, ei)
+        return (o ** 2).mean(), o
+
+    (lf, of), gf = jax.jit(jax.value_and_grad(
+        lambda xx: loss(fused, xx), has_aux=True))(x)
+    (lp, op_), gp = jax.jit(jax.value_and_grad(
+        lambda xx: loss(plain, xx), has_aux=True))(x)
+    assert float(jnp.abs(of - op_).max()) < ATOL
+    assert float(jnp.abs(gf - gp).max()) < ATOL
+    assert np.isfinite(float(lf)) and np.isfinite(float(lp))
+
+
 # ---------------------------------------------------------------------------
 # training step finiteness on hardware
 # ---------------------------------------------------------------------------
