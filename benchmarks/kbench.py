@@ -133,6 +133,37 @@ def bench_fused_vs_xla_pair_pipeline(n=1024, k=8, d=32):
     return out
 
 
+def bench_fused_uniform_sparse(n=1024, k=8, d=64):
+    """Round 3: the fused uniform-degree sparse pipeline
+    (EGNNSparse(fused_uniform=True), ops/pallas/pair_messages.py) vs the XLA
+    per-edge path, layer fwd+bwd on the anchor-5-like shape."""
+    from egnn_tpu import EGNNSparse
+
+    key = jax.random.PRNGKey(0)
+    i = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    j = (i + 1 + jnp.tile(jnp.arange(k, dtype=jnp.int32), n)) % n
+    ei = jnp.stack([j, i])
+    x = jnp.concatenate([
+        jax.random.normal(key, (n, 3), jnp.float32),
+        0.5 * jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32),
+    ], axis=-1)
+    out = []
+    for name, fused in (("sparse_xla_edges", False), ("sparse_fused_kernel", True)):
+        layer = EGNNSparse(feats_dim=d, uniform_degree=k, fourier_features=4,
+                           norm_coors=True, fused_uniform=fused)
+        params = jax.jit(layer.init)(key, x, ei)
+
+        def fwdbwd(xx, layer=layer, params=params):
+            def L(p):
+                o = layer.apply(p, xx, ei)
+                return (o ** 2).mean()
+            return jax.value_and_grad(L)(params)
+
+        t = measure_op(fwdbwd, x, 30, 120)
+        out.append(Roofline(f"{name}[n={n},k={k},d={d}]", t))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -148,6 +179,7 @@ def main():
         results += bench_knn(n=16384, k=8, reps=(5, 25))
         results += bench_stream_layer()
         results += bench_fused_vs_xla_pair_pipeline()
+        results += bench_fused_uniform_sparse()
     for r in results:
         print(r.report())
 

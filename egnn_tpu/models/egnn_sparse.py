@@ -90,7 +90,9 @@ class EGNNSparse(nn.Module):
     # (on when the backend is TPU and the config is supported: edge_attr_dim
     # == 0, both updates on, aggr in add/sum/mean, k a sublane multiple);
     # True forces it (interpret-mode off-TPU — slow, for parity tests);
-    # False forces the XLA per-edge path.
+    # False forces the XLA per-edge path. When the kernel engages it
+    # supersedes compute_dtype: matmuls run the XLA-default bf16-operand
+    # MXU scheme with f32 accumulation, geometry stays f32.
     fused_uniform: Optional[bool] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
