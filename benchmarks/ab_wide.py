@@ -31,13 +31,14 @@ K, DIM, B, DEPTH = 16, 32, 1, 3
 orig = nb.knn_select_gather
 
 
-def arm(name, n, backend=None, wide=None, lo=5, hi=20):
+def arm(name, n, backend=None, wide=None, lo=5, hi=20, fused=False):
     coors = jax.random.normal(jax.random.PRNGKey(0), (B, n, 3), jnp.float32) * 10.0
     feats = jax.random.normal(jax.random.PRNGKey(1), (B, n, DIM), jnp.float32)
     net = EGNNNetwork(depth=DEPTH, dim=DIM,
                       layer_kwargs=dict(num_nearest_neighbors=K,
                                         norm_coors=True,
-                                        coor_weights_clamp_value=2.0))
+                                        coor_weights_clamp_value=2.0,
+                                        fused_pairs=fused))
     p = net.init(jax.random.PRNGKey(3), feats, coors)
 
     @functools.wraps(orig)
@@ -76,11 +77,14 @@ def main():
     for n in sizes:
         if n <= 16384:
             arm("auto(exact)", n)
+            arm("exact_fused", n, fused=True)
             arm("packed_wide", n, backend="packed", wide=True)
+            arm("packed_w_fus", n, backend="packed", wide=True, fused=True)
             arm("packed_flat", n, backend="packed", wide=False)
         else:
             lo, hi = 2, 8
             arm("auto(wide)", n, lo=lo, hi=hi)
+            arm("auto_w_fused", n, fused=True, lo=lo, hi=hi)
             arm("packed_flat", n, backend="packed_tiled", wide=False, lo=lo, hi=hi)
             arm("exact_tiled", n, backend="tiled", lo=lo, hi=hi)
 

@@ -90,6 +90,14 @@ class EGNN(nn.Module):
     # (ops/pallas/knn_layer.py). Off by default: XLA's gather pipeline
     # measured faster at typical sizes; see the kernel's docstring.
     fused_knn: bool = False
+    # fused_pairs: opt-in PRE-GATHERED fused pair pipeline
+    # (ops/pallas/pair_messages.py): the combined selection+payload gather
+    # feeds the kernel directly; aggregates over the (possibly kc-wide)
+    # gathered slots under the pair mask, replacing the XLA
+    # (b, n, k, hidden) pipeline. Forcing True off-TPU runs interpret mode
+    # (slow, parity tests). Falls back silently when unsupported (dense
+    # edges, dropout active, partial updates, k not paddable into VMEM).
+    fused_pairs: bool = False
     # compute_dtype: mixed-precision policy for the MESSAGE path (edge MLP,
     # gate, coordinate-weight MLP, node MLP) — typically jnp.bfloat16 on TPU.
     # Parameters stay f32; GEOMETRY (rel_coors, distances, CoorsNorm, the
@@ -396,6 +404,72 @@ class EGNN(nn.Module):
                 mask_j = g[..., off] > 0.5
                 off += 1
             feats_j_gathered = g[..., off:].astype(feats.dtype)  # (b,n,k,d)
+
+            # ---- opt-in: the combined gather FEEDS the pre-gathered fused
+            # pair kernel (ops/pallas/pair_messages.py) — selection + ONE
+            # wide gather + one kernel; no (b, n, k, hidden) XLA pipeline.
+            # Composes with wide=True above: the kernel aggregates over the
+            # kc candidate slots under the winner mask (slots padded to a
+            # sublane multiple with pv=0). Pending on-chip measurement
+            # (benchmarks/ab_wide.py arms) before any auto default.
+            if self.fused_pairs:
+                from ..ops.pallas.pair_messages import (
+                    fused_pair_messages, supports_fused_pair_messages)
+                kk = g.shape[2]
+                kpad = (-kk) % 8
+                on_tpu = jax.default_backend() == "tpu"
+                if (edges is None and self.update_coors and self.update_feats
+                        and not dropout_active
+                        and supports_fused_pair_messages(
+                            n, kk + kpad, hidden_pad, self.m_dim, d,
+                            backend="tpu")):
+                    # pair validity, reference order incl. the no-mask
+                    # radius quirk (see pair_mask below); wide results carry
+                    # winner inside nbhd.valid already
+                    if mask is not None:
+                        pvm = (mask[:, :, None] & mask_j) & nbhd.valid
+                    elif nbhd.winner is not None:
+                        pvm = nbhd.winner
+                    else:
+                        pvm = jnp.ones((b, n, kk), bool)
+                    if kpad:
+                        zpad = ((0, 0), (0, 0), (0, kpad))
+                        pvm = jnp.pad(pvm, zpad)
+                        coors_j = jnp.pad(coors_j, zpad + ((0, 0),))
+                        feats_j_gathered = jnp.pad(
+                            feats_j_gathered, zpad + ((0, 0),))
+                    k2 = kk + kpad
+                    dummy1 = jnp.zeros((self.m_dim, 1), coors.dtype)
+                    m_sum, cdelta = fused_pair_messages(
+                        coors,
+                        coors_j.reshape(b, n * k2, -1),
+                        feats_j_gathered.reshape(b, n * k2, d),
+                        feats @ w_i + edge_b1,
+                        pvm.reshape(b, n * k2, 1).astype(jnp.float32),
+                        fourier, self.soft_edges, self.norm_coors,
+                        self.coor_weights_clamp_value, 1e-8,
+                        not on_tpu,   # interpret off-TPU (parity tests)
+                        on_tpu,       # mxu_bf16: XLA-default MXU mode
+                        False,        # dense gate semantics (gate everywhere)
+                        w_j, w_d, edge_w2, edge_b2,
+                        gate_w if self.soft_edges else dummy1,
+                        gate_b if self.soft_edges else dummy1[:1, 0],
+                        coors_w1, coors_b1, coors_w2, coors_b2,
+                        cn_scale if self.norm_coors else jnp.ones(
+                            (1,), coors.dtype),
+                    )
+                    coors_out = coors + cdelta.astype(coors.dtype)
+                    if self.m_pool_method == "mean":
+                        if mask is not None:
+                            cnt = pvm.sum(axis=-1, keepdims=True).astype(
+                                m_sum.dtype)
+                            m_i = safe_div(m_sum, cnt)
+                        else:
+                            m_i = m_sum / num_nearest
+                    else:
+                        m_i = m_sum
+                    return node_update(m_i.astype(feats.dtype)), coors_out
+
             rel_coors = coors[:, :, None, :] - coors_j
             rel_dist = jnp.sum(rel_coors**2, axis=-1)
             if edges is not None:
