@@ -190,6 +190,32 @@ def test_sparse_layer_equivariance_on_chip():
     assert float(jnp.abs(o2[:, :3] - o1[:, :3] @ R).max()) < ATOL
 
 
+def test_fused_pairs_dense_parity_on_chip():
+    """Mosaic-compiled pre-gathered pair kernel (EGNN(fused_pairs=True))
+    vs the XLA pipeline on chip, fwd + coordinate grads."""
+    n, k, d = 256, 8, 32
+    feats = 0.5 * _rand((1, n, d), 0)
+    coors = 2.0 * _rand((1, n, 3), 1)
+    common = dict(dim=d, num_nearest_neighbors=k, norm_coors=True,
+                  coor_weights_clamp_value=2.0, fourier_features=2)
+    plain = EGNN(**common)
+    fused = EGNN(**common, fused_pairs=True)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(2), feats, coors)
+
+    def loss(net, c):
+        fo, co = net.apply(params, feats, c)
+        return (fo ** 2).mean() + (co ** 2).mean(), (fo, co)
+
+    (lf, (ff, cf)), gf = jax.jit(jax.value_and_grad(
+        lambda c: loss(fused, c), has_aux=True))(coors)
+    (lp, (fp, cp)), gp = jax.jit(jax.value_and_grad(
+        lambda c: loss(plain, c), has_aux=True))(coors)
+    assert float(jnp.abs(ff - fp).max()) < ATOL
+    assert float(jnp.abs(cf - cp).max()) < ATOL
+    assert float(jnp.abs(gf - gp).max()) < ATOL
+    assert np.isfinite(float(lf)) and np.isfinite(float(lp))
+
+
 def test_fused_uniform_sparse_parity_on_chip():
     """The Mosaic-compiled fused pair pipeline (auto default for
     uniform_degree on TPU) vs the XLA per-edge path, fwd + coordinate
