@@ -114,16 +114,15 @@ def config5_sparse_molecules():
                   embedding_nums=[5], embedding_dims=[dim],
                   fourier_features=4, norm_feats=True, norm_coors=True)
     out = {}
-    # Arms: general segment path; uniform-degree auto (= the fused Pallas
-    # pair pipeline on TPU, round 3); fused forced off (the round-2 measured
-    # path); forced-off + bf16 message MLPs.
+    # Arms: general segment path; uniform-degree (default = XLA per-edge,
+    # the round-2 measured path); + bf16 message MLPs; + the fused Pallas
+    # pair pipeline (round 3, decides the fused_uniform auto default).
     for label, extra in (
         ("", {}),
         ("_uniformk", dict(uniform_degree=K)),
-        ("_uniformk_nofuse", dict(uniform_degree=K, fused_uniform=False)),
-        ("_uniformk_nofuse_bf16",
-         dict(uniform_degree=K, fused_uniform=False,
-              compute_dtype=jnp.bfloat16)),
+        ("_uniformk_bf16",
+         dict(uniform_degree=K, compute_dtype=jnp.bfloat16)),
+        ("_uniformk_fused", dict(uniform_degree=K, fused_uniform=True)),
     ):
         net = EGNNSparseNetwork(**common, **extra)
         params = net.init(key, x, ei, batch=batch, edge_mask=em,

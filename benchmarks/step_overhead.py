@@ -9,8 +9,9 @@ gap within one TPU session, all slope-timed (two scan lengths, best-of-N):
                 (adds the param-grad backward matmuls + per-leaf touch)
   full_adam   — the bench.py step (param grads + optax Adam over the tree)
   adam_only   — optax Adam update alone on frozen grads (tree of ~40 leaves)
-  fused_only  — flat-vector Adam update alone (the fused optimizer)
-  full_fused  — param grads + flat-vector fused Adam (training/fused.py)
+  fused_only  — flat-buffer Adam update alone (training.make_fused_adam,
+                the optimizer bench.py's headline step uses)
+  full_fused  — param grads + flat-buffer fused Adam (= the bench.py step)
 
 Run on the TPU: python benchmarks/step_overhead.py
 """
@@ -151,40 +152,39 @@ def main():
             scan_adam,
             (jax.tree.map(jnp.copy, params), tx.init(params))) * 1e6
 
-    # ---- fused variants (if training/fused.py exists) ----
-    try:
-        from egnn_tpu.training.fused import FusedAdamState, make_fused_denoise_train_step
-    except ImportError:
-        FusedAdamState = None
-    if FusedAdamState is not None:
-        fstate = FusedAdamState.create(params, learning_rate=1e-3)
-        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
+    # ---- fused variants: the flat-buffer Adam bench.py now uses ----
+    from egnn_tpu.training import make_fused_adam
 
-        @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
-        def scan_fused_only(fs, length):
-            def body(s, _):
-                s = s.apply_flat_gradients(flat_grads)
-                return s, jnp.zeros(())
-            s, _ = jax.lax.scan(body, fs, None, length=length)
-            return s, s.flat_params.sum()
+    ftx = make_fused_adam(1e-3)
 
-        if want("fused_only"):
-            results["fused_only_us"] = slope_time(scan_fused_only, fstate) * 1e6
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+    def scan_fused_only(carry, length):
+        def body(c, _):
+            p, o = c
+            upd, o = ftx.update(grads, o, p)
+            p = optax.apply_updates(p, upd)
+            return (p, o), jnp.zeros(())
+        (p, o), _ = jax.lax.scan(body, carry, None, length=length)
+        return (p, o), jax.tree_util.tree_leaves(p)[0].sum()
 
-        fstep = make_fused_denoise_train_step(net)
-        fstate = FusedAdamState.create(params, learning_rate=1e-3)
+    if want("fused_only"):
+        results["fused_only_us"] = slope_time(
+            scan_fused_only,
+            (jax.tree.map(jnp.copy, params), ftx.init(params))) * 1e6
 
-        @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
-        def scan_full_fused(fs, length):
-            def body(s, _):
-                s, l = fstep(s, b.tokens, b.noised_coors, b.clean_coors,
-                             b.adj_mat, b.mask)
-                return s, l
-            s, ls = jax.lax.scan(body, fs, None, length=length)
-            return s, ls[-1]
+    fstate = TrainState.create(jax.tree.map(jnp.copy, params), ftx)
 
-        if want("full_fused"):
-            results["full_fused_us"] = slope_time(scan_full_fused, fstate) * 1e6
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+    def scan_full_fused(fs, length):
+        def body(st, _):
+            st, l = step_fn(st, b.tokens, b.noised_coors, b.clean_coors,
+                            b.adj_mat, b.mask)
+            return st, l
+        s, ls = jax.lax.scan(body, fs, None, length=length)
+        return s, ls[-1]
+
+    if want("full_fused"):
+        results["full_fused_us"] = slope_time(scan_full_fused, fstate) * 1e6
 
     for k, v in results.items():
         print(f"{k}: {v:.1f} us")

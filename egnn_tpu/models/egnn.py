@@ -310,6 +310,18 @@ class EGNN(nn.Module):
             adj_b = None
             if adj_mat is not None:
                 adj_b = adj_mat if adj_mat.ndim == 3 else jnp.broadcast_to(adj_mat, (b, n, n))
+            def pool_kernel_messages(m_sum, pv):
+                """Shared mean/sum pooling of the kernel paths' PRE-SUMMED
+                messages. The no-mask mean divisor is the selected-slot
+                count k (reference egnn_pytorch.py:330-333), which is also
+                exactly the winner count in the wide kc-slot case."""
+                if self.m_pool_method != "mean":
+                    return m_sum
+                if mask is not None:
+                    cnt = pv.sum(axis=-1).astype(m_sum.dtype)[..., None]
+                    return safe_div(m_sum, cnt)
+                return m_sum / num_nearest
+
             # ---- fully fused pair pipeline (ops/pallas/knn_layer.py) ----
             from ..ops.pallas.knn_layer import (
                 fused_knn_messages,
@@ -326,7 +338,7 @@ class EGNN(nn.Module):
                 and self.update_coors
                 and self.update_feats
                 and (self.dropout == 0.0 or deterministic)
-                and supports_fused_knn_layer(n, num_nearest, hidden)
+                and supports_fused_knn_layer(n, num_nearest, hidden_pad)
             )
             if use_fused:
                 # Selection only (the fused kernel gathers in-kernel).
@@ -366,15 +378,7 @@ class EGNN(nn.Module):
                     cn_scale if self.norm_coors else jnp.ones((1,), coors.dtype),
                 )
                 coors_out = coors + coors_delta
-                if self.m_pool_method == "mean":
-                    if mask is not None:
-                        cnt = pv.sum(axis=-1).astype(m_sum.dtype)[..., None]
-                        m_i = safe_div(m_sum, cnt)
-                    else:
-                        m_i = m_sum / num_nearest
-                else:
-                    m_i = m_sum
-                node_out = node_update(m_i)
+                node_out = node_update(pool_kernel_messages(m_sum, pv))
                 return node_out, coors_out
 
             # Selection FUSED with the payload gather: one combined
@@ -459,15 +463,7 @@ class EGNN(nn.Module):
                             (1,), coors.dtype),
                     )
                     coors_out = coors + cdelta.astype(coors.dtype)
-                    if self.m_pool_method == "mean":
-                        if mask is not None:
-                            cnt = pvm.sum(axis=-1, keepdims=True).astype(
-                                m_sum.dtype)
-                            m_i = safe_div(m_sum, cnt)
-                        else:
-                            m_i = m_sum / num_nearest
-                    else:
-                        m_i = m_sum
+                    m_i = pool_kernel_messages(m_sum, pvm)
                     return node_update(m_i.astype(feats.dtype)), coors_out
 
             rel_coors = coors[:, :, None, :] - coors_j

@@ -86,13 +86,17 @@ class EGNNSparse(nn.Module):
     # contract.
     uniform_degree: Optional[int] = None
     # fused_uniform: run the whole per-edge pipeline as ONE Pallas kernel on
-    # the uniform-degree layout (ops/pallas/pair_messages.py). None = auto
-    # (on when the backend is TPU and the config is supported: edge_attr_dim
-    # == 0, both updates on, aggr in add/sum/mean, k a sublane multiple);
-    # True forces it (interpret-mode off-TPU — slow, for parity tests);
-    # False forces the XLA per-edge path. When the kernel engages it
-    # supersedes compute_dtype: matmuls run the XLA-default bf16-operand
-    # MXU scheme with f32 accumulation, geometry stays f32.
+    # the uniform-degree layout (ops/pallas/pair_messages.py). True forces
+    # it when supported (edge_attr_dim == 0, both updates on, aggr in
+    # add/sum/mean, k a sublane multiple; interpret-mode off-TPU — slow,
+    # parity tests); False forces the XLA per-edge path. None = auto,
+    # which currently resolves to OFF: the dense analog of this kernel
+    # measured-and-lost as a default (CLAUDE.md), so the sparse default
+    # flips only after an on-chip win is recorded (harnesses:
+    # benchmarks/kbench.py:bench_fused_uniform_sparse, bench_all anchor-5
+    # arms). When the kernel engages it supersedes compute_dtype: matmuls
+    # run the XLA-default bf16-operand MXU scheme with f32 accumulation,
+    # geometry stays f32.
     fused_uniform: Optional[bool] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
@@ -179,14 +183,11 @@ class EGNNSparse(nn.Module):
         # per-edge pipeline — geometry, Fourier, edge MLP, gate, coors-weight
         # MLP, CoorsNorm, clamp, masking, both k-reductions — runs as one
         # Pallas kernel over the gathered sender rows. XLA keeps the row
-        # gather (and its scatter-add transpose in the backward). Auto on TPU
-        # (fused_uniform=None); forcing True off-TPU runs the interpret-mode
-        # kernel (slow, for parity tests).
-        want_fused = (
-            self.fused_uniform
-            if self.fused_uniform is not None
-            else jax.default_backend() == "tpu"
-        )
+        # gather (and its scatter-add transpose in the backward). Opt-in
+        # until the on-chip A/B lands (see the fused_uniform field note);
+        # forcing True off-TPU runs the interpret-mode kernel (slow, for
+        # parity tests).
+        want_fused = bool(self.fused_uniform)
         use_fused = False
         if want_fused and uk is not None:
             from ..ops.pallas.pair_messages import (

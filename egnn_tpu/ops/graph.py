@@ -108,9 +108,13 @@ def _ragged_knn(coors, k, node_mask, loop, batch, m_cap, G):
     <=512-node graphs that is 128x less selection work and no 17 GB matrix.
     Nodes of graphs larger than ``m_cap`` (possible only when explicit caps
     undershoot; exact caps are derived for concrete batches) are dropped:
-    their rows and their edges come back invalid."""
-    from .neighbors import MASKED_RANK_FILL
+    their rows and their edges come back invalid, and their grid writes land
+    in a sacrificial extra row/column so they can never corrupt a real
+    node's slot (scatter duplicates apply in unspecified order).
 
+    Edge validity is derived from the SELECTED slot's grid mask, not from
+    comparing ranking values against the 1e5 masked fill — real pairs with
+    squared distance >= 1e5 stay valid, matching the (n, n) fallback."""
     n = coors.shape[0]
     c = coors.shape[-1]
     batch = batch.astype(jnp.int32)
@@ -122,23 +126,29 @@ def _ragged_knn(coors, k, node_mask, loop, batch, m_cap, G):
         ok_node = ok_node & node_mask
     pos_c = jnp.minimum(pos, m_cap - 1)
     bat_c = jnp.minimum(batch, G - 1)
+    # dropped nodes write into the sacrificial row G / column m_cap,
+    # sliced away before selection
+    pos_s = jnp.where(ok_node, pos_c, m_cap)
+    bat_s = jnp.where(ok_node, bat_c, G)
 
-    grid_coors = jnp.zeros((G, m_cap, c), coors.dtype).at[bat_c, pos_c].set(
-        jnp.where(ok_node[:, None], coors, 0.0)
-    )
-    grid_mask = jnp.zeros((G, m_cap), bool).at[bat_c, pos_c].set(ok_node)
-    grid_gid = jnp.zeros((G, m_cap), jnp.int32).at[bat_c, pos_c].set(
-        jnp.where(ok_node, jnp.arange(n, dtype=jnp.int32), 0)
-    )
+    grid_coors = jnp.zeros((G + 1, m_cap + 1, c), coors.dtype).at[
+        bat_s, pos_s].set(jnp.where(ok_node[:, None], coors, 0.0))[:G, :m_cap]
+    grid_mask = jnp.zeros((G + 1, m_cap + 1), bool).at[bat_s, pos_s].set(
+        ok_node)[:G, :m_cap]
+    grid_gid = jnp.zeros((G + 1, m_cap + 1), jnp.int32).at[bat_s, pos_s].set(
+        jnp.where(ok_node, jnp.arange(n, dtype=jnp.int32), 0))[:G, :m_cap]
 
     idx, vals = _batched_knn(grid_coors, k, grid_mask, loop)  # (G, m_cap, kw)
     kw = idx.shape[-1]
-    # slot -> global id, then read each original node's row off the grid
-    gid = grid_gid[jnp.arange(G)[:, None, None], idx]          # (G, m_cap, kw)
+    gidx = jnp.arange(G)[:, None, None]
+    # slot -> global id + slot validity, then read each original node's row
+    gid = grid_gid[gidx, idx]                                  # (G, m_cap, kw)
+    sel_ok = grid_mask[gidx, idx]                              # real neighbor?
     idx_n = gid[bat_c, pos_c]                                  # (n, kw)
     vals_n = vals[bat_c, pos_c]
-    fill = jnp.asarray(MASKED_RANK_FILL, vals_n.dtype)
-    vals_n = jnp.where(ok_node[:, None], vals_n, fill)
+    ok_pair = sel_ok[bat_c, pos_c] & ok_node[:, None]
+    fill = jnp.asarray(1e10, vals_n.dtype)
+    vals_n = jnp.where(ok_pair, vals_n, fill)
     return idx_n.astype(jnp.int32), vals_n, fill
 
 

@@ -228,3 +228,76 @@ def test_radius_graph_large_n_guard():
     coors = jnp.zeros((8193, 3), jnp.float32)
     with pytest.raises(ValueError, match="radius_graph_capped"):
         radius_graph(coors, 1.0, max_edges=128)
+
+
+def test_knn_graph_ragged_overflow_does_not_corrupt_real_nodes():
+    """Explicit caps that undershoot: dropped overflow nodes must land in the
+    sacrificial grid slot, NOT on top of the real node at position m_cap-1
+    (round-3 review fix). The surviving nodes' edges must match the same
+    graph truncated to m_cap nodes."""
+    rng = np.random.RandomState(7)
+    sizes = [6, 4]
+    cap = 4   # graph 0 has 2 overflow nodes
+    n, k = sum(sizes), 2
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    batch = jnp.asarray(np.repeat(np.arange(2), sizes))
+    es = jax.jit(
+        lambda c, b: knn_graph(c, k, batch=b, max_graph_size=cap, max_graphs=2)
+    )(coors, batch)
+    kk = np.asarray(es.senders).size // n
+    m = np.asarray(es.mask).reshape(n, kk)
+    s = np.asarray(es.senders).reshape(n, kk)
+    # dropped rows (positions >= cap in graph 0) fully invalid
+    assert not m[4:6].any()
+    # survivors = graph 0 truncated to its first cap nodes: compare against
+    # the reference on exactly that node subset
+    sub = np.concatenate([np.arange(cap), np.arange(6, 10)])
+    ridx, rvals, rvalid = _dense_knn_reference(
+        coors[sub], k, None, False, batch[sub])
+    for row, i in enumerate(sub):
+        want = {int(sub[j]) for j in ridx[row][rvalid[row]]}
+        got = set(s[i][m[i]].tolist())
+        assert got == want, f"node {i}: {got} != {want}"
+    # node at position cap-1 of graph 0 (the collision target pre-fix) must
+    # still appear as a sender for its neighbors
+    assert any(3 in s[i][m[i]] for i in range(cap) if i != 3)
+
+
+def test_knn_graph_ragged_large_distances_stay_valid():
+    """Real pairs with squared distance >= 1e5 (the kNN machinery's masked
+    fill) must stay valid on the bucketed ragged path when a graph fills its
+    bucket (no padding slots competing at the 1e5 fill) — validity comes
+    from the selected slot's grid mask, not a value compare (round-3 review
+    fix; the (N, N) fallback behaved this way already). Graphs with padding
+    keep the library-wide coordinate-scale contract: selection itself ranks
+    the 1e5 padding fills ahead of real d^2 > 1e5 pairs (the reference's own
+    masked-fill convention, egnn_pytorch.py:242), so those rows degrade to
+    invalid edges — but never to corrupt ones."""
+    rng = np.random.RandomState(8)
+    sizes = [4, 4]  # both graphs exactly fill the derived bucket: no padding
+    n, k = sum(sizes), 2
+    coors = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 400.0)  # d^2 ~ 1e5+
+    batch = jnp.asarray(np.repeat(np.arange(2), sizes))
+    es = knn_graph(coors, k, batch=batch)
+    kk = np.asarray(es.senders).size // n
+    m = np.asarray(es.mask).reshape(n, kk)
+    assert m.all(), "large but real distances must not be masked out"
+    ridx, rvals, rvalid = _dense_knn_reference(coors, k, None, False, batch)
+    s = np.asarray(es.senders).reshape(n, kk)
+    for i in range(n):
+        assert set(s[i].tolist()) == set(ridx[i][rvalid[i]].tolist())
+
+    # padded-bucket regime: edges degrade to invalid (scale contract), and
+    # the senders that ARE marked valid are always real same-graph nodes
+    sizes2 = [5, 3]
+    n2 = sum(sizes2)
+    coors2 = jnp.asarray(rng.randn(n2, 3).astype(np.float32) * 400.0)
+    batch2 = jnp.asarray(np.repeat(np.arange(2), sizes2))
+    es2 = knn_graph(coors2, k, batch=batch2)
+    kk2 = np.asarray(es2.senders).size // n2
+    s2 = np.asarray(es2.senders).reshape(n2, kk2)
+    m2 = np.asarray(es2.mask).reshape(n2, kk2)
+    bt = np.asarray(batch2)
+    for i in range(n2):
+        for j in s2[i][m2[i]]:
+            assert bt[j] == bt[i] and j != i

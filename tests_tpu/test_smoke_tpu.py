@@ -217,9 +217,9 @@ def test_fused_pairs_dense_parity_on_chip():
 
 
 def test_fused_uniform_sparse_parity_on_chip():
-    """The Mosaic-compiled fused pair pipeline (auto default for
-    uniform_degree on TPU) vs the XLA per-edge path, fwd + coordinate
-    grads. Both run bf16 MXU passes, but op order differs — loose tol."""
+    """The Mosaic-compiled fused pair pipeline (fused_uniform=True) vs the
+    XLA per-edge path, fwd + coordinate grads. Both run bf16 MXU passes,
+    but op order differs — loose tol."""
     N, K, D = 128, 8, 16
     i = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
     j = (i + 1 + jnp.tile(jnp.arange(K, dtype=jnp.int32), N)) % N
@@ -228,7 +228,7 @@ def test_fused_uniform_sparse_parity_on_chip():
     common = dict(feats_dim=D, uniform_degree=K, soft_edge=1,
                   norm_coors=True, fourier_features=2,
                   coor_weights_clamp_value=2.0)
-    fused = EGNNSparse(**common)                       # auto -> kernel on TPU
+    fused = EGNNSparse(**common, fused_uniform=True)
     plain = EGNNSparse(**common, fused_uniform=False)
     params = jax.jit(plain.init)(jax.random.PRNGKey(2), x, ei)
 
