@@ -177,6 +177,10 @@ def knn_select_gather(
       (keys[kc-1] == keys[k-1]) and the whole call falls back to the exact
       kernel via lax.cond — results are always exact, tie order identical
       to jax.lax.top_k.
+    - ``backend="grid"`` (opt-in, 3-D, no adjacency): spatial-grid candidate
+      pruning (ops/spatial.py) — O(n * 27 * m_cap) candidates with a
+      per-call exactness certificate; on certificate failure the whole call
+      lax.conds to the exact kernels. f32 geometry in both branches.
     - CPU/GPU: the jnp reference path (f64-capable, bit-parity with tests).
 
     ``wide=True`` (only meaningful where a packed path engages): skip the
@@ -336,6 +340,44 @@ def knn_select_gather(
         # the kc-axis reduction into every downstream consumer (rel, proj_j,
         # mask slice, ...), multiplying its cost several-fold in the layer.
         gathered = jax.lax.optimization_barrier(gathered)
+        return nbhd, gathered
+
+    # Spatial-grid candidate pruning (opt-in, 3-D only): O(n * 27 * m_cap)
+    # candidates instead of the O(n^2) ranking band, with a per-call
+    # exactness certificate; certificate failure lax.conds to the exact
+    # kernels, so results are always the exact masked selection (f32
+    # geometry; see ops/spatial.py for the certificate and its limits).
+    use_grid = (
+        backend == "grid" and adj_mat is None and c == 3 and kernel_ok
+    )
+    if use_grid:
+        from .spatial import grid_knn_select
+
+        gvals, gidx, gok = grid_knn_select(coors_sg, k, mask=mask)
+
+        def _take_grid(_):
+            return gvals, gidx
+
+        def _exact_sel(_):
+            if (on_tpu or interpret) and supports_pallas_knn_shapes(n):
+                v, i = knn_select_pallas(
+                    coors_sg, k, mask=mask, interpret=interpret)
+            elif on_tpu:
+                v, i = knn_select_pallas_tiled(coors_sg, k, mask=mask)
+            else:
+                _, rel_dist = pairwise_geometry(
+                    coors_sg.astype(jnp.float32))
+                ranking = knn_ranking(rel_dist, mask=mask)
+                nv, i = jax.lax.top_k(-ranking, k)
+                v = -nv
+            return v.astype(jnp.float32), i.astype(jnp.int32)
+
+        vals, indices = jax.lax.cond(gok, _take_grid, _exact_sel, None)
+        vals = vals.astype(coors.dtype)
+        valid = vals <= jnp.asarray(valid_radius, vals.dtype)
+        nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)
+        gathered = (gather_nodes(build_table(), nbhd.indices)
+                    if payload is not None else None)
         return nbhd, gathered
 
     use_pallas = backend == "pallas" or (

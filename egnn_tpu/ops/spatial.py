@@ -1,0 +1,219 @@
+"""Spatial-grid kNN candidate pruning with an exactness certificate.
+
+The structural lever for selection beyond the quadratic kernels
+(BASELINE.md: at n=16384 the full-band Pallas kernel is AT the VPU roofline
+— ~6 ms at k=16 — because it scans all n^2 pairs; spatial pruning is the
+only way past it). Replaces the O(n^2) ranking band with O(n * C)
+candidates, C = 27 * cell capacity:
+
+1. bin nodes into a STATIC gdim^3 cell grid over the bounding box (cell ids
+   by floor-division; one argsort gives within-cell slot positions — the
+   same padded-grid idiom as ops/graph.py:_ragged_knn, sacrificial slot for
+   overflow);
+2. each node's candidates are the nodes of its 27-cell block, read as 27
+   CONTIGUOUS (m_cap, c) blocks per node (block gathers stream, row
+   gathers don't — the library's gather cost model);
+3. exact f32 ranking + top-k over the (n, C) candidate band.
+
+Exactness is certified per call, not assumed (same discipline as the
+packed-candidate kernels in ops/pallas/knn.py):
+- every true k-nearest set is inside the 27-block if sqrt(d_k) <= the
+  node's distance to its block boundary — checked per node against the
+  MEASURED kth candidate distance, with box-side faces counting as
+  infinite margin (the region beyond the bounding box is empty);
+- rows with boundary ties (more than k candidates at <= d_k), rows with
+  fewer than k valid candidates, and any cell overflow all fail the
+  certificate;
+- callers lax.cond to the exact kernels on failure, so results are always
+  exact. Within the selected k, ties order by (distance, global id) —
+  exactly jax.lax.top_k's global tie order.
+
+Reference semantics mirrored from ops/neighbors.knn_select: self IS a
+candidate (the reference selects the self pair, egnn_pytorch.py:258);
+masked rows return the first-k-columns 1e5-fill rows the masked ranking
+produces. Adjacency overrides are out of scope (spatial structure only).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors import MASKED_RANK_FILL
+
+
+def grid_dims(n: int, occupancy: float = 8.0, m_cap: Optional[int] = None):
+    """Static (gdim, m_cap) for n nodes at the target mean cell occupancy."""
+    gdim = max(3, int(round((n / occupancy) ** (1.0 / 3.0))))
+    if m_cap is None:
+        # Poisson(occ) tail: 4x the mean makes overflow ~never for uniform
+        # data; overflow is certificate-detected, not silent, regardless.
+        m_cap = int(occupancy * 4)
+    m_cap = max(m_cap, 1)
+    return gdim, m_cap
+
+
+def _neighbor_cells(gdim: int) -> jnp.ndarray:
+    """(G, 27) linear ids of each cell's 3^3 block; G = sentinel (out of
+    bounds)."""
+    g = jnp.arange(gdim ** 3, dtype=jnp.int32)
+    ix, iy, iz = g // (gdim * gdim), (g // gdim) % gdim, g % gdim
+    offs = jnp.arange(-1, 2, dtype=jnp.int32)
+    ox = offs[:, None, None]
+    oy = offs[None, :, None]
+    oz = offs[None, None, :]
+    nx = ix[:, None, None, None] + ox
+    ny = iy[:, None, None, None] + oy
+    nz = iz[:, None, None, None] + oz
+    inb = ((nx >= 0) & (nx < gdim) & (ny >= 0) & (ny < gdim)
+           & (nz >= 0) & (nz < gdim))
+    lin = (nx * gdim + ny) * gdim + nz
+    return jnp.where(inb, lin, gdim ** 3).reshape(gdim ** 3, 27)
+
+
+def _grid_knn_single(coors, mask, k, gdim, m_cap):
+    """One batch element: coors (n, 3), mask (n,) bool or None.
+    Returns (vals (n, k) f32 squared distances, idx (n, k) int32, ok)."""
+    n = coors.shape[0]
+    G = gdim ** 3
+    c32 = coors.astype(jnp.float32)
+    valid = jnp.ones((n,), bool) if mask is None else mask
+
+    # ---- bounding box over valid nodes; per-axis cell edges ----
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid[:, None], c32, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], c32, -big), axis=0)
+    edge = jnp.maximum((hi - lo) / gdim, jnp.float32(1e-30))
+
+    ia = jnp.clip(jnp.floor((c32 - lo) / edge).astype(jnp.int32), 0, gdim - 1)
+    # per-node distance to the nearest 27-block face; faces that coincide
+    # with (or lie beyond) the bounding box bound an EMPTY region -> inf
+    inf = jnp.float32("inf")
+    xrel = c32 - lo
+    iaf = ia.astype(jnp.float32)
+    # the block's low face (ia-1)*edge is interior only for ia >= 2 (at
+    # ia <= 1 it coincides with the box lo face -> empty beyond -> inf);
+    # symmetrically the high face (ia+2)*edge is interior only for
+    # ia <= gdim-3
+    m_lo = jnp.where(ia >= 2, xrel - (iaf - 1.0) * edge, inf)
+    m_hi = jnp.where(ia <= gdim - 3, (iaf + 2.0) * edge - xrel, inf)
+    margin = jnp.min(jnp.minimum(m_lo, m_hi), axis=-1)     # (n,)
+    cid = (ia[:, 0] * gdim + ia[:, 1]) * gdim + ia[:, 2]
+    cid = jnp.where(valid, cid, G)          # masked nodes -> sentinel cell
+
+    # ---- within-cell slot via one sort (stable: slot order = node order) --
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32), cid, G + 1)
+    starts = jnp.cumsum(counts) - counts
+    order = jnp.argsort(cid, stable=True)                  # (n,)
+    pos_sorted = jnp.arange(n, dtype=jnp.int32) - starts[cid[order]]
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    overflow = jnp.any(counts[:G] > m_cap)
+
+    ok_node = valid & (pos < m_cap)
+    # sacrificial row/column isolates overflow + masked writes
+    bat_s = jnp.where(ok_node, jnp.minimum(cid, G), G)
+    pos_s = jnp.where(ok_node, jnp.minimum(pos, m_cap - 1), m_cap)
+    grid_gid = jnp.full((G + 1, m_cap + 1), n, jnp.int32).at[bat_s, pos_s].set(
+        jnp.where(ok_node, jnp.arange(n, dtype=jnp.int32), n))[:G + 1, :m_cap]
+    # sentinel cell G stays all-n (invalid)
+    grid_gid = grid_gid.at[G].set(n)
+
+    # ---- candidates: 27 contiguous blocks per node ----
+    nbr = _neighbor_cells(gdim)                            # (G, 27)
+    node_cells = jnp.minimum(cid, G - 1)                   # masked rows: junk, bypassed
+    node_nbrs = nbr[node_cells]                            # (n, 27)
+    cand_gid = grid_gid[node_nbrs].reshape(n, 27 * m_cap)  # (n, C)
+    cand_ok = cand_gid < n
+
+    coors_pad = jnp.concatenate([c32, jnp.zeros((1, 3), jnp.float32)], axis=0)
+    cand_xyz = coors_pad[jnp.minimum(cand_gid, n)]         # (n, C, 3)
+    d = cand_xyz - c32[:, None, :]
+    dist = jnp.sum(d * d, axis=-1)                         # (n, C) f32
+    dist = jnp.where(cand_ok, dist, inf)
+
+    # ---- top-k with (distance, global id) tie order ----
+    neg, sel = jax.lax.top_k(-dist, k)                     # (n, k)
+    vals = -neg
+    gid_sel = jnp.take_along_axis(cand_gid, sel, axis=1)
+    # stable double argsort = lexicographic (vals, gid): matches the global
+    # top_k order for every certified row (boundary ties are rejected below)
+    o1 = jnp.argsort(gid_sel, axis=1, stable=True)
+    v1 = jnp.take_along_axis(vals, o1, axis=1)
+    o2 = jnp.argsort(v1, axis=1, stable=True)
+    vals = jnp.take_along_axis(v1, o2, axis=1)
+    idx = jnp.take_along_axis(jnp.take_along_axis(gid_sel, o1, axis=1),
+                              o2, axis=1)
+
+    # ---- certificate ----
+    vkth = vals[:, k - 1]
+    n_valid_cand = cand_ok.sum(axis=1)
+    cnt_le = jnp.sum(dist <= vkth[:, None], axis=1)
+    row_ok = (
+        (n_valid_cand >= k)
+        & (vkth <= margin * margin)                        # coverage
+        & (cnt_le == k)                                    # no boundary tie
+    )
+    ok = jnp.all(row_ok | ~valid) & ~overflow
+
+    # masked query rows: the exact masked-ranking output (all pairs filled
+    # at 1e5 -> top_k returns columns 0..k-1)
+    fill = jnp.float32(MASKED_RANK_FILL)
+    col = jnp.arange(k, dtype=jnp.int32)
+    vals = jnp.where(valid[:, None], vals, fill)
+    idx = jnp.where(valid[:, None], idx, col[None, :])
+    return vals, idx.astype(jnp.int32), ok
+
+
+@functools.partial(jax.jit, static_argnames=("k", "occupancy", "m_cap"))
+def grid_knn_select(
+    coors: jnp.ndarray,                 # (b, n, 3)
+    k: int,
+    mask: Optional[jnp.ndarray] = None, # (b, n) bool
+    occupancy: Optional[float] = None,
+    m_cap: Optional[int] = None,
+):
+    """Grid-pruned kNN selection candidate for ops/neighbors.knn_select.
+
+    Returns (vals (b, n, k) f32, idx (b, n, k) int32, ok scalar bool).
+    ``ok`` certifies the result equals the exact masked selection (value
+    AND tie order); on False the caller must fall back to the exact
+    kernels. 3-D coordinates only (the spatial structure is the point).
+
+    ``occupancy`` (mean nodes per cell) defaults to max(12, 1.5*k): the
+    minimum per-node block margin is one cell edge h and the expected
+    uniform-data population of a radius-h ball is ~4.2*occupancy, but
+    box-corner nodes see only ~1/8 of that ball inside the box — 1.5*k
+    keeps even the truncated-ball population above k (measured: 6/6 seeds
+    certify at every n in 1k..8k, k in 8..16; 1.0*k leaves stragglers).
+
+    Anisotropy: cells stretch with the bounding box (per-axis edges), so
+    the binding margin is the SMALLEST axis edge while the kth-NN radius
+    follows the geometric mean — a box with extent ratios (r1, r2, r3)
+    needs occupancy boosted by ~(geomean(r)/min(r))^3 to certify (3:1:2
+    needs ~6x); beyond that the certificate rejects and callers fall back
+    to the exact kernels. Needle-shaped boxes never certify: per-axis cell
+    counts would have to be data-dependent, which static shapes forbid.
+    """
+    b, n, c = coors.shape
+    assert c == 3, "grid pruning is 3-D only; use the exact kernels otherwise"
+    if occupancy is None:
+        occupancy = max(12.0, 1.5 * float(k))
+    gdim, m_cap_ = grid_dims(n, occupancy, m_cap)
+    if 27 * m_cap_ < k or n < k or gdim < 4:
+        # gdim < 4: a corner cell's 27-block covers only 8 of >= 27 cells,
+        # so uniform data cannot certify — reject statically (callers skip
+        # the grid work instead of paying for a guaranteed fallback)
+        # statically impossible to certify: caller falls back
+        return (
+            jnp.full((b, n, k), jnp.float32(MASKED_RANK_FILL)),
+            jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, n, k)),
+            jnp.asarray(False),
+        )
+    fn = functools.partial(_grid_knn_single, k=k, gdim=gdim, m_cap=m_cap_)
+    if mask is None:
+        vals, idx, ok = jax.vmap(lambda cc: fn(cc, None))(coors)
+    else:
+        vals, idx, ok = jax.vmap(fn)(coors, mask)
+    return vals, idx, jnp.all(ok)
