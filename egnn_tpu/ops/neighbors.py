@@ -351,9 +351,15 @@ def knn_select_gather(
         backend == "grid" and adj_mat is None and c == 3 and kernel_ok
     )
     if use_grid:
+        from .pallas.grid_knn import grid_knn_select_pallas, supports_grid_knn
         from .spatial import grid_knn_select
 
-        gvals, gidx, gok = grid_knn_select(coors_sg, k, mask=mask)
+        if (on_tpu or interpret) and supports_grid_knn(
+                n, k, backend="tpu" if on_tpu else None):
+            gvals, gidx, gok = grid_knn_select_pallas(
+                coors_sg, k, mask=mask, interpret=interpret)
+        else:
+            gvals, gidx, gok = grid_knn_select(coors_sg, k, mask=mask)
 
         def _take_grid(_):
             return gvals, gidx

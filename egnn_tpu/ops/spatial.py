@@ -73,13 +73,17 @@ def _neighbor_cells(gdim: int) -> jnp.ndarray:
     return jnp.where(inb, lin, gdim ** 3).reshape(gdim ** 3, 27)
 
 
-def _grid_knn_single(coors, mask, k, gdim, m_cap):
-    """One batch element: coors (n, 3), mask (n,) bool or None.
-    Returns (vals (n, k) f32 squared distances, idx (n, k) int32, ok)."""
-    n = coors.shape[0]
+def cell_assignment(c32, valid, gdim):
+    """Shared grid geometry for the jnp and Pallas grid-kNN paths.
+
+    Args: c32 (n, 3) f32, valid (n,) bool, static gdim.
+    Returns (cid (n,) int32 cell id with masked nodes -> sentinel G,
+    pos (n,) int32 within-cell slot, counts (G+1,) int32 valid-node cell
+    populations, margin (n,) f32 distance to the nearest INTERIOR 27-block
+    face — box-coincident faces bound empty space and count as inf).
+    """
+    n = c32.shape[0]
     G = gdim ** 3
-    c32 = coors.astype(jnp.float32)
-    valid = jnp.ones((n,), bool) if mask is None else mask
 
     # ---- bounding box over valid nodes; per-axis cell edges ----
     big = jnp.float32(3.4e38)
@@ -109,6 +113,18 @@ def _grid_knn_single(coors, mask, k, gdim, m_cap):
     order = jnp.argsort(cid, stable=True)                  # (n,)
     pos_sorted = jnp.arange(n, dtype=jnp.int32) - starts[cid[order]]
     pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    return cid, pos, counts, margin
+
+
+def _grid_knn_single(coors, mask, k, gdim, m_cap):
+    """One batch element: coors (n, 3), mask (n,) bool or None.
+    Returns (vals (n, k) f32 squared distances, idx (n, k) int32, ok)."""
+    n = coors.shape[0]
+    G = gdim ** 3
+    c32 = coors.astype(jnp.float32)
+    valid = jnp.ones((n,), bool) if mask is None else mask
+
+    cid, pos, counts, margin = cell_assignment(c32, valid, gdim)
     overflow = jnp.any(counts[:G] > m_cap)
 
     ok_node = valid & (pos < m_cap)
@@ -131,7 +147,7 @@ def _grid_knn_single(coors, mask, k, gdim, m_cap):
     cand_xyz = coors_pad[jnp.minimum(cand_gid, n)]         # (n, C, 3)
     d = cand_xyz - c32[:, None, :]
     dist = jnp.sum(d * d, axis=-1)                         # (n, C) f32
-    dist = jnp.where(cand_ok, dist, inf)
+    dist = jnp.where(cand_ok, dist, jnp.float32("inf"))
 
     # ---- top-k with (distance, global id) tie order ----
     neg, sel = jax.lax.top_k(-dist, k)                     # (n, k)

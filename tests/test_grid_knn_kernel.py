@@ -1,0 +1,69 @@
+"""Interpret-mode parity for the grid-blocked kNN kernel
+(ops/pallas/grid_knn.py): whenever the certificate passes, (vals, idx)
+must equal the exact masked selection INCLUDING tie order; adversarial
+inputs must fail the certificate rather than silently diverge."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egnn_tpu.ops.neighbors import knn_select
+from egnn_tpu.ops.pallas.grid_knn import (
+    grid_kernel_gdim,
+    grid_knn_select_pallas,
+    supports_grid_knn,
+)
+
+
+def _exact(coors, k, mask=None):
+    nb = knn_select(coors, k, float("inf"), mask=mask)
+    return np.asarray(nb.ranking), np.asarray(nb.indices)
+
+
+@pytest.mark.parametrize("seed,b,n,k,gdim,with_mask", [
+    (0, 1, 1024, 8, 4, False),
+    (1, 2, 1024, 8, 4, True),
+    (2, 1, 2048, 16, 4, False),
+    (3, 1, 1000, 5, 4, True),    # non-power-of-two n
+])
+def test_grid_kernel_matches_exact_when_certified(seed, b, n, k, gdim,
+                                                  with_mask):
+    key = jax.random.PRNGKey(seed)
+    coors = jax.random.uniform(key, (b, n, 3), jnp.float32) * 10.0
+    mask = ((jax.random.uniform(jax.random.PRNGKey(seed + 9), (b, n)) > 0.1)
+            if with_mask else None)
+    vals, idx, ok = grid_knn_select_pallas(
+        coors, k, mask=mask, interpret=True, gdim=gdim)
+    assert bool(ok), "uniform data should certify"
+    evals, eidx = _exact(coors, k, mask)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6, atol=1e-6)
+
+
+def test_grid_kernel_certificate_rejects_duplicate_pileup():
+    base = np.random.RandomState(0).rand(8, 3).astype(np.float32)
+    coors = jnp.asarray(np.tile(base, (128, 1)))[None]   # 1024 nodes, 8 sites
+    _, _, ok = grid_knn_select_pallas(coors, 4, interpret=True, gdim=4)
+    assert not bool(ok)
+
+
+def test_grid_kernel_under_jit():
+    coors = jax.random.uniform(jax.random.PRNGKey(5), (1, 1024, 3),
+                               jnp.float32) * 3.0
+    vals, idx, ok = jax.jit(
+        lambda c: grid_knn_select_pallas(c, 8, interpret=True, gdim=4))(coors)
+    assert bool(ok)
+    evals, eidx = _exact(coors, 8)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
+def test_supports_grid_knn_window():
+    # occupancy model: supported sizes keep mean cell population <= _OCC_MAX
+    # and the table VMEM-resident
+    assert not supports_grid_knn(4096, 8, backend="tpu")      # n too small
+    assert supports_grid_knn(8192, 16, backend="tpu")
+    assert supports_grid_knn(16384, 16, backend="tpu")
+    assert supports_grid_knn(65536, 16, backend="tpu")
+    assert not supports_grid_knn(16384, 16, backend="cpu")
+    g = grid_kernel_gdim(16384)
+    assert 16384 / g**3 <= 96.0

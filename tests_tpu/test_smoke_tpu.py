@@ -270,3 +270,28 @@ def test_train_step_finite_on_chip():
     assert all(np.isfinite(losses)), losses
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
+def test_grid_knn_kernel_on_chip():
+    """Grid-blocked selection kernel (ops/pallas/grid_knn.py): Mosaic
+    lowering of the dynamic 8-aligned sublane slices + 27-block band, and
+    dispatch parity against the exact full-band kernel at a supported n."""
+    from egnn_tpu.ops.pallas.grid_knn import (grid_knn_select_pallas,
+                                              supports_grid_knn)
+    n, k = 8192, 16
+    assert supports_grid_knn(n, k)
+    coors = _rand((1, n, 3), seed=21, scale=10.0) 
+    vals, idx, ok = jax.jit(
+        lambda c: grid_knn_select_pallas(c, k))(coors)
+    assert bool(ok), "uniform cloud should certify on chip"
+    ref = jax.jit(
+        lambda c: nb.knn_select(c, k, float("inf"), backend="pallas"))(coors)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref.ranking),
+                               rtol=0, atol=0)
+
+    # dispatch: backend="grid" routes through the kernel + cond fallback
+    got = jax.jit(
+        lambda c: nb.knn_select(c, k, float("inf"), backend="grid"))(coors)
+    np.testing.assert_array_equal(np.asarray(got.indices),
+                                  np.asarray(ref.indices))
