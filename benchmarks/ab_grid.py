@@ -27,6 +27,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from egnn_tpu import EGNNNetwork
 from egnn_tpu.ops import neighbors as nb
+from egnn_tpu.ops.pallas.grid_knn import (grid_knn_select_pallas,
+                                          supports_grid_knn)
 from egnn_tpu.ops.spatial import grid_knn_select
 from egnn_tpu.utils.profiling import measure_op
 
@@ -90,10 +92,13 @@ def main():
     print(f"backend: {jax.default_backend()}")
     for n in sizes:
         lo, hi = (2, 8) if n > 16384 else (5, 20)
-        sel_arm("grid", n, lambda c: grid_knn_select(c, K)[:2], lo=lo, hi=hi)
+        if supports_grid_knn(n, K):
+            sel_arm("grid_kernel", n,
+                    lambda c: grid_knn_select_pallas(c, K)[:2], lo=lo, hi=hi)
+        sel_arm("grid_jnp", n, lambda c: grid_knn_select(c, K)[:2],
+                lo=lo, hi=hi)
         sel_arm("exact(auto)", n,
                 lambda c: nb.knn_select(c, K, float("inf"))[:2], lo=lo, hi=hi)
-        # certificate-only cost (the pruned band without the cond arms)
         net_arm("auto", n, lo=lo, hi=hi)
         net_arm("grid", n, backend="grid", lo=lo, hi=hi)
 
