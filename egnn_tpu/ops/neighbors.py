@@ -134,6 +134,13 @@ CANDIDATE_SLACK = 4
 # experiment flag: disable the exactness fallback (NEVER ship False)
 _PACKED_FALLBACK = True
 
+# Route backend="auto" through the grid-blocked selection kernel
+# (ops/pallas/grid_knn.py) for supported shapes. Flip to True ONLY on a
+# measured layer-level win (benchmarks/ab_grid.py discipline) — the
+# certificate's lax.cond fallback makes it exact either way, but auto
+# must also be the fastest path.
+GRID_AUTO = False
+
 # MEASURED OUTCOME (v5e, n=16384, k=16, the flagship large-n regime): the
 # packed candidate kernel alone is ~1.6x faster than the exact full-band
 # kernel (4.4-4.8 vs 6.0-7.7 ms), but the exact XLA refine gives the win
@@ -350,6 +357,11 @@ def knn_select_gather(
     use_grid = (
         backend == "grid" and adj_mat is None and c == 3 and kernel_ok
     )
+    if (not use_grid and backend == "auto" and GRID_AUTO and on_tpu
+            and adj_mat is None and c == 3 and kernel_ok):
+        from .pallas.grid_knn import supports_grid_knn
+
+        use_grid = supports_grid_knn(n, k)
     if use_grid:
         from .pallas.grid_knn import grid_knn_select_pallas, supports_grid_knn
         from .spatial import grid_knn_select
