@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3 TPU measurement queue (memory: egnn-tpu-round3-state). Run from
+# /root/repo in a FOREGROUND shell (background shells may lack the tunnel).
+# Each step tees to benchmarks/results/ so a dropped tunnel loses nothing.
+set -u
+cd /root/repo
+mkdir -p benchmarks/results
+R=benchmarks/results
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$R/queue.log"
+  timeout "$t" "$@" 2>&1 | tee "$R/$name.txt" | tail -25
+  echo "--- $name exit=$? ---" | tee -a "$R/queue.log"
+}
+
+run smoke        1200 python -m pytest tests_tpu/ -q
+run ab_grid      590  python benchmarks/ab_grid.py 16384 65536
+run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
+run ab_ti        590  python benchmarks/ab_ti.py
+run bench_all    900  python benchmarks/bench_all.py
+run step_over    590  python benchmarks/step_overhead.py
+run bench        590  python bench.py
+echo "QUEUE DONE $(date)" | tee -a "$R/queue.log"
