@@ -11,7 +11,8 @@ run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$R/queue.log"
   timeout "$t" "$@" 2>&1 | tee "$R/$name.txt" | tail -25
-  echo "--- $name exit=$? ---" | tee -a "$R/queue.log"
+  local st=${PIPESTATUS[0]}   # the benchmark's status, not tail's
+  echo "--- $name exit=$st ---" | tee -a "$R/queue.log"
 }
 
 run smoke        1200 python -m pytest tests_tpu/ -q

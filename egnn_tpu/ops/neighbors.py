@@ -362,12 +362,39 @@ def knn_select_gather(
         from .pallas.grid_knn import supports_grid_knn
 
         use_grid = supports_grid_knn(n, k)
+    # Exact-selection routing, shared by the dispatch tail below and the
+    # grid certificate's lax.cond fallback — ONE copy of the pallas/tiled/
+    # jnp choice (the jnp arm stays dtype-native so CPU/f64 tie order is
+    # identical wherever it runs).
+    use_pallas = backend == "pallas" or (
+        backend in ("auto", "grid") and on_tpu and kernel_ok
+        and supports_pallas_knn_shapes(n)
+    )
+    # Beyond the full-band kernel's VMEM reach (n > ~8k), the j-tiled variant
+    # keeps selection on-chip with O(TI*TJ) memory — measured 40x vs the XLA
+    # distance-matrix + top_k fallback at n=16384 (5.7 ms vs 229 ms, v5e).
+    use_tiled = backend == "tiled" or (
+        backend in ("auto", "grid") and on_tpu and kernel_ok
+        and not supports_pallas_knn_shapes(n)
+    )
+
+    def _exact_selection():
+        """(vals, idx) by the exact kernels / jnp path (dtype-native)."""
+        if use_pallas or use_tiled:
+            fn = knn_select_pallas if use_pallas else knn_select_pallas_tiled
+            return fn(coors_sg, num_nearest, mask=mask, adj_mat=adj_mat,
+                      interpret=interpret)
+        _, rel_dist = pairwise_geometry(coors_sg)
+        ranking = knn_ranking(rel_dist, mask=mask, adj_mat=adj_mat)
+        neg_vals, idx_e = jax.lax.top_k(-ranking, num_nearest)
+        return -neg_vals, idx_e
+
     if use_grid:
         from .pallas.grid_knn import grid_knn_select_pallas, supports_grid_knn
         from .spatial import grid_knn_select
 
-        if (on_tpu or interpret) and supports_grid_knn(
-                n, k, backend="tpu" if on_tpu else None):
+        if supports_grid_knn(n, k, backend="tpu" if (on_tpu or interpret)
+                             else None):
             gvals, gidx, gok = grid_knn_select_pallas(
                 coors_sg, k, mask=mask, interpret=interpret)
         else:
@@ -376,21 +403,11 @@ def knn_select_gather(
         def _take_grid(_):
             return gvals, gidx
 
-        def _exact_sel(_):
-            if (on_tpu or interpret) and supports_pallas_knn_shapes(n):
-                v, i = knn_select_pallas(
-                    coors_sg, k, mask=mask, interpret=interpret)
-            elif on_tpu:
-                v, i = knn_select_pallas_tiled(coors_sg, k, mask=mask)
-            else:
-                _, rel_dist = pairwise_geometry(
-                    coors_sg.astype(jnp.float32))
-                ranking = knn_ranking(rel_dist, mask=mask)
-                nv, i = jax.lax.top_k(-ranking, k)
-                v = -nv
+        def _exact_fallback(_):
+            v, i = _exact_selection()
             return v.astype(jnp.float32), i.astype(jnp.int32)
 
-        vals, indices = jax.lax.cond(gok, _take_grid, _exact_sel, None)
+        vals, indices = jax.lax.cond(gok, _take_grid, _exact_fallback, None)
         vals = vals.astype(coors.dtype)
         valid = vals <= jnp.asarray(valid_radius, vals.dtype)
         nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)
@@ -398,20 +415,8 @@ def knn_select_gather(
                     if payload is not None else None)
         return nbhd, gathered
 
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and on_tpu and kernel_ok and supports_pallas_knn_shapes(n)
-    )
-    # Beyond the full-band kernel's VMEM reach (n > ~8k), the j-tiled variant
-    # keeps selection on-chip with O(TI*TJ) memory — measured 40x vs the XLA
-    # distance-matrix + top_k fallback at n=16384 (5.7 ms vs 229 ms, v5e).
-    use_tiled = backend == "tiled" or (
-        backend == "auto" and on_tpu and kernel_ok
-        and not supports_pallas_knn_shapes(n)
-    )
     if use_pallas or use_tiled:
-        fn = knn_select_pallas if use_pallas else knn_select_pallas_tiled
-        vals, indices = fn(coors_sg, num_nearest, mask=mask, adj_mat=adj_mat,
-                           interpret=interpret)
+        vals, indices = _exact_selection()
         vals = vals.astype(coors.dtype)
         valid = vals <= jnp.asarray(valid_radius, vals.dtype)
         nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)

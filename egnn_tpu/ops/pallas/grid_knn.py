@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..spatial import MASKED_RANK_FILL, _neighbor_cells, cell_assignment
+from ..spatial import _neighbor_cells, cell_assignment, resort_and_certify
 from .knn import _extract_topk
 
 _LANE = 128
@@ -163,7 +163,7 @@ def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, interpret):
     return vals, posc
 
 
-def _grid_knn_pallas_single(c32, valid, *, k, gdim, interpret):
+def _grid_knn_pallas_single(c32, valid, *, k, gdim, interpret, has_mask):
     """One batch element. c32 (n, 3) f32, valid (n,) bool.
     Returns (vals (n, k) f32, idx (n, k) int32, ok bool)."""
     n = c32.shape[0]
@@ -209,31 +209,12 @@ def _grid_knn_pallas_single(c32, valid, *, k, gdim, interpret):
     gid = gid_tab[cell_sel, slot]                           # (n, k); n=empty
     gid = jnp.minimum(gid, n - 1)
 
-    # ---- exact lax.top_k tie order: lex re-sort by (val, gid) ----
-    o1 = jnp.argsort(gid, axis=1, stable=True)
-    v1 = jnp.take_along_axis(vals, o1, axis=1)
-    o2 = jnp.argsort(v1, axis=1, stable=True)
-    vals = jnp.take_along_axis(v1, o2, axis=1)
-    gid = jnp.take_along_axis(jnp.take_along_axis(gid, o1, axis=1),
-                              o2, axis=1)
-
-    # ---- certificate (same components as ops/spatial.py) ----
+    # shared tail: exact-tie-order re-sort + certificate + masked fill
     n_valid_cand = jnp.sum(
         counts[nbr[jnp.minimum(cid, G - 1)]], axis=1)       # (n,)
-    vkth = vals[:, k - 1]
-    row_ok = (
-        (n_valid_cand >= k)
-        & (vkth <= margin * margin)
-        & (cnt == k)
-    )
-    ok = jnp.all(row_ok | ~valid) & ~overflow
-
-    # masked query rows: the exact masked-ranking fill output
-    fill = jnp.float32(MASKED_RANK_FILL)
-    colk = jnp.arange(k, dtype=jnp.int32)
-    vals = jnp.where(valid[:, None], vals, fill)
-    gid = jnp.where(valid[:, None], gid, colk[None, :])
-    return vals, gid.astype(jnp.int32), ok
+    return resort_and_certify(
+        vals, gid, valid, margin, n_valid_cand, cnt, overflow, k,
+        has_mask=has_mask)
 
 
 def grid_knn_select_pallas(
@@ -255,7 +236,8 @@ def grid_knn_select_pallas(
     if gdim is None:
         gdim = grid_kernel_gdim(n)
     fn = functools.partial(
-        _grid_knn_pallas_single, k=k, gdim=gdim, interpret=interpret)
+        _grid_knn_pallas_single, k=k, gdim=gdim, interpret=interpret,
+        has_mask=mask is not None)
     c32 = coors.astype(jnp.float32)
     if mask is None:
         valid = jnp.ones((b, n), bool)

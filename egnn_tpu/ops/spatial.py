@@ -103,7 +103,14 @@ def cell_assignment(c32, valid, gdim):
     # ia <= gdim-3
     m_lo = jnp.where(ia >= 2, xrel - (iaf - 1.0) * edge, inf)
     m_hi = jnp.where(ia <= gdim - 3, (iaf + 2.0) * edge - xrel, inf)
-    margin = jnp.min(jnp.minimum(m_lo, m_hi), axis=-1)     # (n,)
+    # f32 robustness: floor((x-lo)/edge) can misplace a node by ~1 ulp of
+    # the quotient relative to the coordinate-space face (iaf)*edge, so a
+    # candidate "just outside" the block can truly lie "just inside" the
+    # margin. Shave the margin by a few orders of magnitude more than one
+    # ulp (1e-5 * edge per axis) so the certificate stays conservative.
+    eps = edge * jnp.float32(1e-5)
+    margin = jnp.min(jnp.minimum(m_lo, m_hi) - eps, axis=-1)  # (n,)
+    margin = jnp.maximum(margin, 0.0)
     cid = (ia[:, 0] * gdim + ia[:, 1]) * gdim + ia[:, 2]
     cid = jnp.where(valid, cid, G)          # masked nodes -> sentinel cell
 
@@ -114,6 +121,57 @@ def cell_assignment(c32, valid, gdim):
     pos_sorted = jnp.arange(n, dtype=jnp.int32) - starts[cid[order]]
     pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
     return cid, pos, counts, margin
+
+
+def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
+                       overflow, k, has_mask):
+    """Shared tail of the jnp and Pallas grid paths: exact-tie-order
+    re-sort, the exactness certificate, and masked-row fill.
+
+    Args: vals (n, k) f32 ascending selected squared distances in ARBITRARY
+    tie order, gid (n, k) int32 their global ids, valid (n,) bool query
+    validity, margin (n,) f32 (eps-shaved block-face margins from
+    :func:`cell_assignment`), n_valid_cand (n,) real candidates in the
+    27-block, cnt_le (n,) candidates with distance <= the kth selected,
+    overflow scalar bool, static k and has_mask.
+
+    Returns (vals, idx, ok) where ok certifies exact equality with the
+    masked reference selection:
+    - coverage is STRICT (vkth < margin^2) on the shaved margin;
+    - cnt_le == k rejects boundary tie groups;
+    - with a mask, vkth < MASKED_RANK_FILL is additionally required: the
+      exact path ranks masked pairs AT the 1e5 fill, so whenever the kth
+      real neighbor would rank >= 1e5 the exact selection prefers masked
+      pairs the grid's candidate tables exclude — the grid result would
+      silently diverge without this component.
+    """
+    # lex (val, gid) re-sort == lax.top_k's global tie order (a stable
+    # double argsort; boundary ties are certificate-rejected, so the
+    # selected SET is unique and the re-sort makes the ORDER exact)
+    o1 = jnp.argsort(gid, axis=1, stable=True)
+    v1 = jnp.take_along_axis(vals, o1, axis=1)
+    o2 = jnp.argsort(v1, axis=1, stable=True)
+    vals = jnp.take_along_axis(v1, o2, axis=1)
+    gid = jnp.take_along_axis(jnp.take_along_axis(gid, o1, axis=1),
+                              o2, axis=1)
+
+    vkth = vals[:, k - 1]
+    row_ok = (
+        (n_valid_cand >= k)
+        & (vkth < margin * margin)
+        & (cnt_le == k)
+    )
+    if has_mask:
+        row_ok = row_ok & (vkth < jnp.float32(MASKED_RANK_FILL))
+    ok = jnp.all(row_ok | ~valid) & ~overflow
+
+    # masked query rows: the exact masked-ranking output (all pairs filled
+    # at 1e5 -> top_k returns columns 0..k-1)
+    fill = jnp.float32(MASKED_RANK_FILL)
+    colk = jnp.arange(k, dtype=jnp.int32)
+    vals = jnp.where(valid[:, None], vals, fill)
+    gid = jnp.where(valid[:, None], gid, colk[None, :])
+    return vals, gid.astype(jnp.int32), ok
 
 
 def _grid_knn_single(coors, mask, k, gdim, m_cap):
@@ -149,37 +207,15 @@ def _grid_knn_single(coors, mask, k, gdim, m_cap):
     dist = jnp.sum(d * d, axis=-1)                         # (n, C) f32
     dist = jnp.where(cand_ok, dist, jnp.float32("inf"))
 
-    # ---- top-k with (distance, global id) tie order ----
+    # ---- top-k (band tie order; re-sorted + certified in the shared tail) --
     neg, sel = jax.lax.top_k(-dist, k)                     # (n, k)
     vals = -neg
     gid_sel = jnp.take_along_axis(cand_gid, sel, axis=1)
-    # stable double argsort = lexicographic (vals, gid): matches the global
-    # top_k order for every certified row (boundary ties are rejected below)
-    o1 = jnp.argsort(gid_sel, axis=1, stable=True)
-    v1 = jnp.take_along_axis(vals, o1, axis=1)
-    o2 = jnp.argsort(v1, axis=1, stable=True)
-    vals = jnp.take_along_axis(v1, o2, axis=1)
-    idx = jnp.take_along_axis(jnp.take_along_axis(gid_sel, o1, axis=1),
-                              o2, axis=1)
-
-    # ---- certificate ----
-    vkth = vals[:, k - 1]
     n_valid_cand = cand_ok.sum(axis=1)
-    cnt_le = jnp.sum(dist <= vkth[:, None], axis=1)
-    row_ok = (
-        (n_valid_cand >= k)
-        & (vkth <= margin * margin)                        # coverage
-        & (cnt_le == k)                                    # no boundary tie
-    )
-    ok = jnp.all(row_ok | ~valid) & ~overflow
-
-    # masked query rows: the exact masked-ranking output (all pairs filled
-    # at 1e5 -> top_k returns columns 0..k-1)
-    fill = jnp.float32(MASKED_RANK_FILL)
-    col = jnp.arange(k, dtype=jnp.int32)
-    vals = jnp.where(valid[:, None], vals, fill)
-    idx = jnp.where(valid[:, None], idx, col[None, :])
-    return vals, idx.astype(jnp.int32), ok
+    cnt_le = jnp.sum(dist <= vals[:, k - 1][:, None], axis=1)
+    return resort_and_certify(
+        vals, gid_sel, valid, margin, n_valid_cand, cnt_le, overflow, k,
+        has_mask=mask is not None)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "occupancy", "m_cap"))

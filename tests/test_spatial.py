@@ -127,3 +127,23 @@ def test_knn_select_grid_backend_payload_gather():
                                backend="grid")
     np.testing.assert_array_equal(np.asarray(ng.indices), np.asarray(na.indices))
     np.testing.assert_allclose(np.asarray(gg), np.asarray(ga), rtol=1e-6)
+
+
+def test_grid_certificate_rejects_masked_fill_regime():
+    """The exact path ranks masked pairs AT the 1e5 fill, so when the kth
+    REAL neighbor distance exceeds 1e5 the exact selection prefers masked
+    pairs the grid tables exclude — the certificate must reject (and the
+    dispatch fallback must then match auto exactly)."""
+    key = jax.random.PRNGKey(11)
+    # box side 5000 -> typical nn d^2 ~ (5000/10)^2 = 2.5e5 > 1e5 at n=1024
+    coors = jax.random.uniform(key, (1, 1024, 3), jnp.float32) * 5000.0
+    mask = jax.random.uniform(jax.random.PRNGKey(12), (1, 1024)) > 0.1
+    vals, idx, ok = grid_knn_select(coors, 8, mask=mask)
+    assert not bool(ok), "kth distance >= 1e5 with a mask must not certify"
+    a = knn_select(coors, 8, float("inf"), mask=mask, backend="auto")
+    g = knn_select(coors, 8, float("inf"), mask=mask, backend="grid")
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
+    # sanity: exact top-k here really does contain masked senders
+    masked_ids = set(np.nonzero(~np.asarray(mask[0]))[0].tolist())
+    sel = set(np.asarray(a.indices[0]).reshape(-1).tolist())
+    assert masked_ids & sel, "regime check: exact selection uses masked fills"
