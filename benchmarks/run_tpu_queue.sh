@@ -17,6 +17,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run smoke        1200 python -m pytest tests_tpu/ -q
 run ab_grid      590  python benchmarks/ab_grid.py 16384 65536
+run brk65k       900  python benchmarks/breakdown_65k.py
 run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
 run ab_ti        590  python benchmarks/ab_ti.py
 run bench_all    900  python benchmarks/bench_all.py
