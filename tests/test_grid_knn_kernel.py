@@ -67,3 +67,22 @@ def test_supports_grid_knn_window():
     assert not supports_grid_knn(16384, 16, backend="cpu")
     g = grid_kernel_gdim(16384)
     assert 16384 / g**3 <= 96.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_grid_kernel_fuzz_certified_means_exact(seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.choice([900, 1024, 1500]))
+    k = int(rng.choice([4, 8]))
+    key = jax.random.PRNGKey(seed + 40)
+    coors = jax.random.uniform(key, (1, n, 3), jnp.float32) * 7.0
+    mask = None
+    if rng.rand() < 0.5:
+        mask = jax.random.uniform(jax.random.PRNGKey(seed + 77), (1, n)) > 0.2
+    vals, idx, ok = grid_knn_select_pallas(
+        coors, k, mask=mask, interpret=True, gdim=4)
+    if bool(ok):
+        evals, eidx = _exact(coors, k, mask)
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
+        np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6,
+                                   atol=1e-6)

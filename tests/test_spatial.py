@@ -147,3 +147,29 @@ def test_grid_certificate_rejects_masked_fill_regime():
     masked_ids = set(np.nonzero(~np.asarray(mask[0]))[0].tolist())
     sel = set(np.asarray(a.indices[0]).reshape(-1).tolist())
     assert masked_ids & sel, "regime check: exact selection uses masked fills"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_grid_fuzz_certified_means_exact(seed):
+    """Property fuzz: across random shapes/scales/masks, a passing
+    certificate ALWAYS implies exact (idx, val) equality — certified-but-
+    wrong is the one unacceptable failure mode."""
+    rng = np.random.RandomState(seed)
+    n = int(rng.choice([777, 1024, 1536, 2048]))
+    k = int(rng.choice([4, 8, 13]))
+    scale = float(rng.choice([0.01, 1.0, 40.0]))
+    key = jax.random.PRNGKey(seed)
+    coors = jax.random.uniform(key, (1, n, 3), jnp.float32) * scale
+    mask = None
+    if rng.rand() < 0.5:
+        mask = jax.random.uniform(jax.random.PRNGKey(seed + 99), (1, n)) > 0.2
+    vals, idx, ok = grid_knn_select(coors, k, mask=mask)
+    if bool(ok):
+        evals, eidx = _exact(coors, k, mask)
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
+        np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6,
+                                   atol=1e-6)
+    # either way the dispatch must equal auto (fallback covers rejections)
+    a = knn_select(coors, k, float("inf"), mask=mask, backend="auto")
+    g = knn_select(coors, k, float("inf"), mask=mask, backend="grid")
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
