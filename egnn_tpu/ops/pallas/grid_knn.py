@@ -12,24 +12,31 @@ shares the same 27 neighbor-cell candidate blocks:
   candidate blocks are dynamic 8-row-aligned sublane slices of a small
   VMEM-resident table, shared by all m_cap=128 queries of the cell;
 - the ranking band is (128, 27*128=3456) instead of (128, n) — a ~n/3456
-  op reduction (4.7x at n=16k, 19x at 65k) on both the distance fill and
-  the k extraction rounds that dominate;
-- exactness is certified per call exactly like the jnp grid path
-  (ops/spatial.py): coverage margin + boundary-tie count (measured
-  IN-kernel against the original band) + cell overflow + candidate count;
-  callers lax.cond to the exact kernels on failure.
+  op reduction (4.7x at n=16k, 19x at 65k) on the distance fill and the k
+  extraction rounds that dominate;
+- extraction selects by LEXICOGRAPHIC (distance, global id): the table's
+  spare sublane row carries each slot's global id as f32 (exact to 2^24),
+  and each round takes min-distance then min-gid among the tied — the
+  selected SET therefore matches jax.lax.top_k exactly even through f32
+  distance collisions. Without this, collision ties at the k-boundary
+  (measured ~1.5e-5/row on uniform 16k clouds — most calls at 65k) would
+  have to be certificate-rejected; with it, no tie component is needed.
 
-Tie order: extraction ties resolve by band position (arbitrary), then the
-(n, k) results are re-sorted lexicographically by (value, global id) — the
-certificate rejects boundary ties, so the selected SET is unique and the
-re-sort reproduces jax.lax.top_k's global tie order exactly.
+Exactness is still certified per call (ops/spatial.py discipline):
+coverage margin (eps-shaved, strict), cell overflow, candidate count, and
+the masked-fill regime (vkth < 1e5 under a mask). Callers lax.cond to the
+exact kernels on failure. A cheap EARLY exit (overflow / candidate count,
+known before any table is built) skips the kernel entirely — clustered
+data (e.g. Gaussian clouds, whose core cells overflow any uniform grid)
+pays only the O(n) cell assignment, not a doomed kernel pass.
 
 Layout notes (Mosaic constraints, see CLAUDE.md gotchas):
 - candidate table: ((G+1)*8, m_cap) f32, row 8*c+cc = coordinate cc of
-  cell c — dynamic sublane slices must be 8-row aligned, so each cell owns
-  a full 8-row group (rows 3..7 unused). Empty slots hold SENTINEL_XYZ
-  coordinates whose squared distance (~3e18) loses to every real pair but
-  stays far below the eviction fill (3.4e38).
+  cell c, row 8*c+3 = global ids as f32 — dynamic sublane slices must be
+  8-row aligned, so each cell owns a full 8-row group (rows 4..7 unused).
+  Empty slots hold SENTINEL_XYZ coordinates whose squared distance (~3e18)
+  loses to every real pair but stays far below the eviction fill (3.4e38),
+  and gid n (sorts after every real id).
 - query table: (G+1, m_cap, 4) f32 streamed one cell per program via the
   BlockSpec index map (slots on sublanes, coords on lanes — the same
   orientation trick as the quadratic kernels' (n, c) x (c, n) pair).
@@ -50,17 +57,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spatial import _neighbor_cells, cell_assignment, resort_and_certify
-from .knn import _extract_topk
 
 _LANE = 128
 M_CAP = 128          # slots per cell == one lane tile (alignment-free)
 SENTINEL_XYZ = 1e9   # empty-slot coordinate: d^2 ~ 3e18 << eviction fill
+_EVICT_FILL = 3.4e38
 
 # Mean-occupancy target: high enough that slot padding stays ~2x (the band
 # is 27*M_CAP wide regardless), low enough that the Poisson tail never
-# overflows M_CAP=128 slots: P(X > 128 | 64) ~ 5e-12 per cell. gdim
-# rounding drifts actual occupancy to ~64-96; the overflow certificate
-# catches the (rare) pileups regardless.
+# overflows M_CAP=128 slots on uniform data: P(X > 128 | 64) ~ 5e-12 per
+# cell. gdim rounding drifts actual occupancy to ~64-96; overflow (e.g.
+# clustered data) is caught by the EARLY certificate before any kernel work.
 _OCC_TARGET = 64.0
 # Reject shapes whose rounded grid drifts the mean occupancy above this:
 # P(X > 128 | 96) ~ 8e-4 per cell makes whole-call fallback likely.
@@ -89,49 +96,59 @@ def supports_grid_knn(n: int, k: int, backend: Optional[str] = None) -> bool:
     )
 
 
-def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, posc_ref,
-                     *, k: int, m_cap: int):
+def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, gid_ref,
+                     *, k: int, m_cap: int, n: int):
     """One spatial cell per program: rank the 27-block candidate band for
-    the cell's m_cap query slots and emit top-k (vals, band positions) plus
-    the boundary-tie count."""
+    the cell's m_cap query slots; emit top-k (vals, global ids) selected by
+    lexicographic (distance, gid) — jax.lax.top_k's exact set and content
+    even through f32 distance ties."""
     q = q_ref[0]                                    # (m_cap, 4)
-    blocks = []
+    dblocks, gblocks = [], []
     for j in range(27):
         cell = nbr_ref[0, j]
         r0 = pl.multiple_of(cell * 8, 8)
-        blk = cand_ref[pl.ds(r0, 8), :]             # (8, m_cap): x,y,z rows
+        blk = cand_ref[pl.ds(r0, 8), :]             # (8, m_cap): x,y,z,gid
         d = jnp.zeros((m_cap, m_cap), jnp.float32)
         for cc in range(3):
             qi = q[:, cc].reshape(m_cap, 1)
             xj = blk[cc, :].reshape(1, m_cap)
             dd = qi - xj
             d = d + dd * dd
-        blocks.append(d)
-    band = jnp.concatenate(blocks, axis=1)          # (m_cap, 27*m_cap)
-    width = 27 * m_cap
-    col = jax.lax.broadcasted_iota(jnp.int32, (m_cap, width), 1)
+        dblocks.append(d)
+        gblocks.append(jnp.broadcast_to(blk[3, :].reshape(1, m_cap),
+                                        (m_cap, m_cap)))
+    band = jnp.concatenate(dblocks, axis=1)         # (m_cap, 27*m_cap)
+    gband = jnp.concatenate(gblocks, axis=1)        # f32 global ids
 
-    vals, poss = _extract_topk(band, col, k, width)
-    # boundary-tie count against the ORIGINAL band: cnt == k iff no tie
-    # group straddles the k-boundary (certificate component)
-    vkth = vals[:, k - 1].reshape(m_cap, 1)
-    cnt = jnp.sum((band <= vkth).astype(jnp.int32), axis=1, keepdims=True)
+    # k rounds of lex (distance, gid) min / evict. Real gids are unique, so
+    # the winner mask selects exactly one slot per round; only all-sentinel
+    # rows (fewer than k real candidates — certificate-rejected outside)
+    # can multi-evict.
+    gid_sent = jnp.float32(n)
+    vals, gids = [], []
+    for _ in range(k):
+        m = jnp.min(band, axis=1, keepdims=True)
+        at_m = band == m
+        g = jnp.min(jnp.where(at_m, gband, gid_sent), axis=1, keepdims=True)
+        vals.append(m)
+        gids.append(g)
+        band = jnp.where(at_m & (gband == g), _EVICT_FILL, band)
 
-    vals_ref[0] = vals
-    posc_ref[0] = jnp.concatenate([poss, cnt], axis=1)
+    vals_ref[0] = jnp.concatenate(vals, axis=1)
+    gid_ref[0] = jnp.concatenate(gids, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "gdim", "interpret"))
-def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, interpret):
+@functools.partial(jax.jit, static_argnames=("k", "gdim", "n", "interpret"))
+def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, n, interpret):
     """Run the kernel over all G cells.
 
     cand_tab ((G+1)*8, m_cap) f32, q_tab (G+1, m_cap, 4) f32,
     nbr (G, 27) int32. Returns (vals (G, m_cap, k) f32,
-    posc (G, m_cap, k+1) int32 — band positions + tie count)."""
+    gids (G, m_cap, k) int32)."""
     G = gdim ** 3
     m_cap = M_CAP
-    kernel = functools.partial(_grid_knn_kernel, k=k, m_cap=m_cap)
-    vals, posc = pl.pallas_call(
+    kernel = functools.partial(_grid_knn_kernel, k=k, m_cap=m_cap, n=n)
+    vals, gids = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -145,33 +162,31 @@ def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, interpret):
         out_specs=[
             pl.BlockSpec((1, m_cap, k), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_cap, k + 1), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, m_cap, k), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, m_cap, k), jnp.float32),
-            jax.ShapeDtypeStruct((G, m_cap, k + 1), jnp.int32),
+            jax.ShapeDtypeStruct((G, m_cap, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(G * m_cap * 27 * m_cap * (9 + 4 * k + 1)),
+            flops=int(G * m_cap * 27 * m_cap * (9 + 6 * k)),
             bytes_accessed=int(
-                cand_tab.size * 4 * 2 + G * m_cap * (16 + 8 * k + 4)),
+                cand_tab.size * 4 * 2 + G * m_cap * (16 + 8 * k)),
             transcendentals=0,
         ),
         interpret=interpret,
     )(nbr, cand_tab, q_tab)
-    return vals, posc
+    return vals, gids
 
 
-def _grid_knn_pallas_single(c32, valid, *, k, gdim, interpret, has_mask):
-    """One batch element. c32 (n, 3) f32, valid (n,) bool.
-    Returns (vals (n, k) f32, idx (n, k) int32, ok bool)."""
+def _grid_knn_main(c32, valid, cid, pos, margin, ncand,
+                   *, k, gdim, interpret, has_mask):
+    """Tables + kernel + finalize for one batch element (early checks
+    already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok)."""
     n = c32.shape[0]
     G = gdim ** 3
     m_cap = M_CAP
-
-    cid, pos, counts, margin = cell_assignment(c32, valid, gdim)
-    overflow = jnp.any(counts[:G] > m_cap)
 
     # ---- tables: one scatter into a sacrificial-row/-slot layout ----
     ok_node = valid & (pos < m_cap)
@@ -182,38 +197,25 @@ def _grid_knn_pallas_single(c32, valid, *, k, gdim, interpret, has_mask):
     tab = jnp.full((G + 2, m_cap + 1, 4), jnp.float32(SENTINEL_XYZ))
     tab = tab.at[:, :, 3].set(jnp.float32(n))
     tab = tab.at[bat_s, pos_s].set(xyzg)[:G + 1, :m_cap]   # (G+1, m_cap, 4)
-    gid_tab = tab[:, :, 3].astype(jnp.int32)                # (G+1, m_cap)
     q_tab = tab
-    # candidate orientation: ((G+1)*8, m_cap), rows 8c+0..2 = x,y,z
+    # candidate orientation: ((G+1)*8, m_cap), rows 8c+0..3 = x,y,z,gid
     cand_tab = jnp.pad(
-        jnp.swapaxes(tab[:, :, :3], 1, 2), ((0, 0), (0, 5), (0, 0))
+        jnp.swapaxes(tab, 1, 2), ((0, 0), (0, 4), (0, 0))
     ).reshape((G + 1) * 8, m_cap)
 
     nbr = _neighbor_cells(gdim)                             # (G, 27)
-
-    vals_c, posc = _grid_knn_cells_call(
-        cand_tab, q_tab, nbr, k=k, gdim=gdim, interpret=interpret)
+    vals_c, gid_c = _grid_knn_cells_call(
+        cand_tab, q_tab, nbr, k=k, gdim=gdim, n=n, interpret=interpret)
 
     # ---- unsort: pull each real node's row out of its (cell, slot) ----
     flat = jnp.minimum(cid, G - 1) * m_cap + jnp.minimum(pos, m_cap - 1)
     vals = vals_c.reshape(G * m_cap, k)[flat]               # (n, k)
-    pc = posc.reshape(G * m_cap, k + 1)[flat]
-    bandpos = pc[:, :k]
-    cnt = pc[:, k]
-
-    # ---- band position -> global id (tiny (n, k) gathers) ----
-    jcell = bandpos // m_cap
-    slot = bandpos % m_cap
-    cell_sel = jnp.take_along_axis(
-        nbr[jnp.minimum(cid, G - 1)], jcell, axis=1)        # (n, k)
-    gid = gid_tab[cell_sel, slot]                           # (n, k); n=empty
-    gid = jnp.minimum(gid, n - 1)
+    gid = jnp.minimum(gid_c.reshape(G * m_cap, k)[flat], n - 1)
 
     # shared tail: exact-tie-order re-sort + certificate + masked fill
-    n_valid_cand = jnp.sum(
-        counts[nbr[jnp.minimum(cid, G - 1)]], axis=1)       # (n,)
+    # (ties were resolved by gid IN selection, so no cnt component)
     return resort_and_certify(
-        vals, gid, valid, margin, n_valid_cand, cnt, overflow, k,
+        vals, gid, valid, margin, ncand, None, jnp.asarray(False), k,
         has_mask=has_mask)
 
 
@@ -230,18 +232,44 @@ def grid_knn_select_pallas(
     f32, idx (b, n, k) int32, ok scalar bool); on ok=False callers MUST
     fall back to the exact kernels (ops/neighbors.py does this via
     lax.cond). 3-D coordinates only. ``gdim`` overrides the occupancy
-    model's cell count (tests use small grids interpret-mode)."""
+    model's cell count (tests use small grids interpret-mode).
+
+    Early exit: overflow / candidate-count failures are known from the
+    cell assignment alone, so the table build and the kernel sit inside a
+    scalar lax.cond — clustered data that can never certify pays only the
+    O(n) assignment cost before the caller's exact fallback runs.
+    """
     b, n, c = coors.shape
     assert c == 3, "grid-blocked selection is 3-D only"
     if gdim is None:
         gdim = grid_kernel_gdim(n)
-    fn = functools.partial(
-        _grid_knn_pallas_single, k=k, gdim=gdim, interpret=interpret,
-        has_mask=mask is not None)
+    G = gdim ** 3
     c32 = coors.astype(jnp.float32)
-    if mask is None:
-        valid = jnp.ones((b, n), bool)
-    else:
-        valid = mask
-    vals, idx, ok = jax.vmap(fn)(c32, valid)
-    return vals, idx, jnp.all(ok)
+    valid = jnp.ones((b, n), bool) if mask is None else mask
+
+    cid, pos, counts, margin = jax.vmap(
+        lambda cc, vv: cell_assignment(cc, vv, gdim))(c32, valid)
+    nbr = _neighbor_cells(gdim)                             # (G, 27)
+    overflow = jnp.any(counts[:, :G] > M_CAP)
+    ncand = jax.vmap(
+        lambda cnts, ci: jnp.sum(cnts[nbr[jnp.minimum(ci, G - 1)]], axis=1)
+    )(counts, cid)                                          # (b, n)
+    early_ok = (~overflow) & jnp.all((ncand >= k) | ~valid)
+
+    main = functools.partial(
+        _grid_knn_main, k=k, gdim=gdim, interpret=interpret,
+        has_mask=mask is not None)
+
+    def _run(_):
+        vals, idx, ok = jax.vmap(main)(c32, valid, cid, pos, margin, ncand)
+        return vals, idx, jnp.all(ok)
+
+    def _skip(_):
+        return (
+            jnp.zeros((b, n, k), jnp.float32),
+            jnp.zeros((b, n, k), jnp.int32),
+            jnp.asarray(False),
+        )
+
+    vals, idx, ok = jax.lax.cond(early_ok, _run, _skip, None)
+    return vals, idx, ok

@@ -132,13 +132,15 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
     tie order, gid (n, k) int32 their global ids, valid (n,) bool query
     validity, margin (n,) f32 (eps-shaved block-face margins from
     :func:`cell_assignment`), n_valid_cand (n,) real candidates in the
-    27-block, cnt_le (n,) candidates with distance <= the kth selected,
+    27-block, cnt_le (n,) candidates with distance <= the kth selected —
+    or None when the producer already selected by exact (distance, gid)
+    lex order (the grid kernel), making boundary ties harmless —
     overflow scalar bool, static k and has_mask.
 
     Returns (vals, idx, ok) where ok certifies exact equality with the
     masked reference selection:
     - coverage is STRICT (vkth < margin^2) on the shaved margin;
-    - cnt_le == k rejects boundary tie groups;
+    - cnt_le == k (when given) rejects boundary tie groups;
     - with a mask, vkth < MASKED_RANK_FILL is additionally required: the
       exact path ranks masked pairs AT the 1e5 fill, so whenever the kth
       real neighbor would rank >= 1e5 the exact selection prefers masked
@@ -159,8 +161,9 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
     row_ok = (
         (n_valid_cand >= k)
         & (vkth < margin * margin)
-        & (cnt_le == k)
     )
+    if cnt_le is not None:
+        row_ok = row_ok & (cnt_le == k)
     if has_mask:
         row_ok = row_ok & (vkth < jnp.float32(MASKED_RANK_FILL))
     ok = jnp.all(row_ok | ~valid) & ~overflow

