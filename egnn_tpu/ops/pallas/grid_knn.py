@@ -115,16 +115,17 @@ def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, gid_ref,
             dd = qi - xj
             d = d + dd * dd
         dblocks.append(d)
-        gblocks.append(jnp.broadcast_to(blk[3, :].reshape(1, m_cap),
-                                        (m_cap, m_cap)))
+        gblocks.append(blk[3, :].reshape(1, m_cap))
     band = jnp.concatenate(dblocks, axis=1)         # (m_cap, 27*m_cap)
-    gband = jnp.concatenate(gblocks, axis=1)        # f32 global ids
+    # f32 global ids as ONE broadcastable row — never materialized at
+    # (m_cap, width); the wheres below broadcast it against the band
+    gband = jnp.concatenate(gblocks, axis=1)        # (1, 27*m_cap)
 
     # k rounds of lex (distance, gid) min / evict. Real gids are unique, so
     # the winner mask selects exactly one slot per round; only all-sentinel
     # rows (fewer than k real candidates — certificate-rejected outside)
     # can multi-evict.
-    gid_sent = jnp.float32(n)
+    gid_sent = float(n)
     vals, gids = [], []
     for _ in range(k):
         m = jnp.min(band, axis=1, keepdims=True)
