@@ -95,6 +95,9 @@ def main():
         if supports_grid_knn(n, K):
             sel_arm("grid_kernel", n,
                     lambda c: grid_knn_select_pallas(c, K)[:2], lo=lo, hi=hi)
+            sel_arm("grid_streamed", n,
+                    lambda c: grid_knn_select_pallas(c, K, streamed=True)[:2],
+                    lo=lo, hi=hi)
         sel_arm("grid_jnp", n, lambda c: grid_knn_select(c, K)[:2],
                 lo=lo, hi=hi)
         sel_arm("exact(auto)", n,

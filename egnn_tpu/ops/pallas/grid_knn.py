@@ -79,21 +79,66 @@ def grid_kernel_gdim(n: int) -> int:
     return max(4, int(round((n / _OCC_TARGET) ** (1.0 / 3.0))))
 
 
+# Resident-table variant: the whole ((G+1)*8, m_cap) candidate table lives
+# in VMEM and neighbor blocks are dynamic sublane slices. Beyond this
+# budget the STREAMED variant takes over: candidate blocks are DMA'd per
+# (cell, neighbor) grid step through arithmetic BlockSpec index maps — no
+# VMEM table at all, ~2 MB scratch at any n (27x redundant HBM reads of
+# the 4 KB blocks are negligible next to the band compute).
+_RESIDENT_TABLE_MAX = 5 * 1024 * 1024
+_STREAMED_MAX_CELLS = 2 ** 15           # grid-step count backstop (G*27)
+
+
+def _grid_resident_ok(gdim: int) -> bool:
+    return (gdim ** 3 + 1) * 8 * M_CAP * 4 <= _RESIDENT_TABLE_MAX
+
+
 def supports_grid_knn(n: int, k: int, backend: Optional[str] = None) -> bool:
     """Kernel applicability: TPU, band-width win, occupancy in the safe
-    window, and the candidate table resident in VMEM (~6 MB budget)."""
+    window, and either the resident-table or the streamed variant viable."""
     if backend is None:
         backend = jax.default_backend()
     gdim = grid_kernel_gdim(n)
     G = gdim ** 3
-    table_bytes = (G + 1) * 8 * M_CAP * 4
     return (
         backend == "tpu"
         and 1 <= k <= M_CAP
         and n >= 8192                      # below: exact kernels already win
         and n / G <= _OCC_MAX
-        and table_bytes <= 6 * 1024 * 1024
+        and (_grid_resident_ok(gdim) or G <= _STREAMED_MAX_CELLS)
     )
+
+
+def _dist_block(q, blk, m_cap):
+    """(m_cap, m_cap) squared distances: q (m_cap, 4) slots-on-sublanes vs
+    blk (8, m_cap) slots-on-lanes (rows x, y, z, gid)."""
+    d = jnp.zeros((m_cap, m_cap), jnp.float32)
+    for cc in range(3):
+        qi = q[:, cc].reshape(m_cap, 1)
+        xj = blk[cc, :].reshape(1, m_cap)
+        dd = qi - xj
+        d = d + dd * dd
+    return d
+
+
+def _lex_topk(band, gband, k, n):
+    """k rounds of lex (distance, gid) min / evict over band (m_cap, W)
+    with gband (1, W) f32 global ids (broadcast, never materialized wide).
+    Real gids are unique, so the winner mask selects exactly one slot per
+    round; only all-sentinel rows (fewer than k real candidates —
+    certificate-rejected outside) can multi-evict.
+    Returns ((m_cap, k) f32 vals, (m_cap, k) int32 gids)."""
+    gid_sent = float(n)
+    vals, gids = [], []
+    for _ in range(k):
+        m = jnp.min(band, axis=1, keepdims=True)
+        at_m = band == m
+        g = jnp.min(jnp.where(at_m, gband, gid_sent), axis=1, keepdims=True)
+        vals.append(m)
+        gids.append(g)
+        band = jnp.where(at_m & (gband == g), _EVICT_FILL, band)
+    return (jnp.concatenate(vals, axis=1),
+            jnp.concatenate(gids, axis=1).astype(jnp.int32))
 
 
 def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, gid_ref,
@@ -108,35 +153,34 @@ def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, gid_ref,
         cell = nbr_ref[0, j]
         r0 = pl.multiple_of(cell * 8, 8)
         blk = cand_ref[pl.ds(r0, 8), :]             # (8, m_cap): x,y,z,gid
-        d = jnp.zeros((m_cap, m_cap), jnp.float32)
-        for cc in range(3):
-            qi = q[:, cc].reshape(m_cap, 1)
-            xj = blk[cc, :].reshape(1, m_cap)
-            dd = qi - xj
-            d = d + dd * dd
-        dblocks.append(d)
+        dblocks.append(_dist_block(q, blk, m_cap))
         gblocks.append(blk[3, :].reshape(1, m_cap))
     band = jnp.concatenate(dblocks, axis=1)         # (m_cap, 27*m_cap)
-    # f32 global ids as ONE broadcastable row — never materialized at
-    # (m_cap, width); the wheres below broadcast it against the band
     gband = jnp.concatenate(gblocks, axis=1)        # (1, 27*m_cap)
 
-    # k rounds of lex (distance, gid) min / evict. Real gids are unique, so
-    # the winner mask selects exactly one slot per round; only all-sentinel
-    # rows (fewer than k real candidates — certificate-rejected outside)
-    # can multi-evict.
-    gid_sent = float(n)
-    vals, gids = [], []
-    for _ in range(k):
-        m = jnp.min(band, axis=1, keepdims=True)
-        at_m = band == m
-        g = jnp.min(jnp.where(at_m, gband, gid_sent), axis=1, keepdims=True)
-        vals.append(m)
-        gids.append(g)
-        band = jnp.where(at_m & (gband == g), _EVICT_FILL, band)
+    vals, gids = _lex_topk(band, gband, k, n)
+    vals_ref[0] = vals
+    gid_ref[0] = gids
 
-    vals_ref[0] = jnp.concatenate(vals, axis=1)
-    gid_ref[0] = jnp.concatenate(gids, axis=1).astype(jnp.int32)
+
+def _grid_knn_streamed_kernel(cand_blk_ref, q_ref, vals_ref, gid_ref,
+                              band, gband, *, k: int, m_cap: int, n: int):
+    """Streamed variant: grid (G, 27); each step's BlockSpec index map
+    already fetched THE neighbor block (arithmetic cell decoding, no table
+    in VMEM). Deposits one (m_cap, m_cap) distance tile into the band
+    scratch; extraction runs once at the last neighbor."""
+    j = pl.program_id(1)
+    q = q_ref[0]                                    # (m_cap, 4)
+    blk = cand_blk_ref[0]                           # (8, m_cap)
+    off = pl.multiple_of(j * m_cap, m_cap)
+    band[:, pl.ds(off, m_cap)] = _dist_block(q, blk, m_cap)
+    gband[:, pl.ds(off, m_cap)] = blk[3, :].reshape(1, m_cap)
+
+    @pl.when(j == 26)
+    def _extract():
+        vals, gids = _lex_topk(band[...], gband[...], k, n)
+        vals_ref[0] = vals
+        gid_ref[0] = gids
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gdim", "n", "interpret"))
@@ -181,8 +225,68 @@ def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, n, interpret):
     return vals, gids
 
 
+@functools.partial(jax.jit, static_argnames=("k", "gdim", "n", "interpret"))
+def _grid_knn_cells_call_streamed(cand_tab3, q_tab, *, k, gdim, n, interpret):
+    """Streamed-table run over grid (G, 27).
+
+    cand_tab3 (G+1, 8, m_cap) f32 (row G = sentinel block), q_tab
+    (G+1, m_cap, 4) f32. Neighbor cells are decoded ARITHMETICALLY in the
+    candidate BlockSpec's index map (scalar ops trace fine there), so no
+    neighbor table is needed anywhere. Returns the same (vals, gids) as the
+    resident call."""
+    G = gdim ** 3
+    m_cap = M_CAP
+    g2 = gdim * gdim
+
+    def cand_index(c, j):
+        ix = c // g2
+        iy = (c // gdim) % gdim
+        iz = c % gdim
+        nx = ix + (j // 9 - 1)
+        ny = iy + ((j // 3) % 3 - 1)
+        nz = iz + (j % 3 - 1)
+        inb = ((nx >= 0) & (nx < gdim) & (ny >= 0) & (ny < gdim)
+               & (nz >= 0) & (nz < gdim))
+        return jnp.where(inb, (nx * gdim + ny) * gdim + nz, G), 0, 0
+
+    kernel = functools.partial(
+        _grid_knn_streamed_kernel, k=k, m_cap=m_cap, n=n)
+    vals, gids = pl.pallas_call(
+        kernel,
+        grid=(G, 27),
+        in_specs=[
+            pl.BlockSpec((1, 8, m_cap), cand_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_cap, 4), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_cap, k), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_cap, k), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, m_cap, k), jnp.float32),
+            jax.ShapeDtypeStruct((G, m_cap, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m_cap, 27 * m_cap), jnp.float32),
+            pltpu.VMEM((1, 27 * m_cap), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(G * m_cap * 27 * m_cap * (9 + 6 * k)),
+            bytes_accessed=int(
+                G * 27 * 8 * m_cap * 4 + G * m_cap * (16 + 8 * k)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cand_tab3, q_tab)
+    return vals, gids
+
+
 def _grid_knn_main(c32, valid, cid, pos, margin, ncand,
-                   *, k, gdim, interpret, has_mask):
+                   *, k, gdim, interpret, has_mask, streamed=False):
     """Tables + kernel + finalize for one batch element (early checks
     already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok)."""
     n = c32.shape[0]
@@ -199,14 +303,18 @@ def _grid_knn_main(c32, valid, cid, pos, margin, ncand,
     tab = tab.at[:, :, 3].set(jnp.float32(n))
     tab = tab.at[bat_s, pos_s].set(xyzg)[:G + 1, :m_cap]   # (G+1, m_cap, 4)
     q_tab = tab
-    # candidate orientation: ((G+1)*8, m_cap), rows 8c+0..3 = x,y,z,gid
-    cand_tab = jnp.pad(
-        jnp.swapaxes(tab, 1, 2), ((0, 0), (0, 4), (0, 0))
-    ).reshape((G + 1) * 8, m_cap)
+    # candidate orientation: rows 8c+0..3 = x,y,z,gid
+    cand_tab3 = jnp.pad(
+        jnp.swapaxes(tab, 1, 2), ((0, 0), (0, 4), (0, 0)))  # (G+1, 8, m_cap)
 
-    nbr = _neighbor_cells(gdim)                             # (G, 27)
-    vals_c, gid_c = _grid_knn_cells_call(
-        cand_tab, q_tab, nbr, k=k, gdim=gdim, n=n, interpret=interpret)
+    if _grid_resident_ok(gdim) and not streamed:
+        nbr = _neighbor_cells(gdim)                         # (G, 27)
+        vals_c, gid_c = _grid_knn_cells_call(
+            cand_tab3.reshape((G + 1) * 8, m_cap), q_tab, nbr,
+            k=k, gdim=gdim, n=n, interpret=interpret)
+    else:
+        vals_c, gid_c = _grid_knn_cells_call_streamed(
+            cand_tab3, q_tab, k=k, gdim=gdim, n=n, interpret=interpret)
 
     # ---- unsort: pull each real node's row out of its (cell, slot) ----
     flat = jnp.minimum(cid, G - 1) * m_cap + jnp.minimum(pos, m_cap - 1)
@@ -226,6 +334,7 @@ def grid_knn_select_pallas(
     mask: Optional[jnp.ndarray] = None,  # (b, n) bool
     interpret: bool = False,
     gdim: Optional[int] = None,
+    streamed: bool = False,
 ):
     """Grid-blocked Pallas kNN selection with exactness certificate.
 
@@ -259,7 +368,7 @@ def grid_knn_select_pallas(
 
     main = functools.partial(
         _grid_knn_main, k=k, gdim=gdim, interpret=interpret,
-        has_mask=mask is not None)
+        has_mask=mask is not None, streamed=streamed)
 
     def _run(_):
         vals, idx, ok = jax.vmap(main)(c32, valid, cid, pos, margin, ncand)

@@ -127,3 +127,34 @@ def test_grid_kernel_early_skip_on_clustered_data():
     if bool(ok):
         evals, eidx = _exact(coors, 8)
         np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
+@pytest.mark.parametrize("seed,n,k,with_mask", [
+    (0, 1024, 8, False),
+    (1, 1000, 5, True),
+])
+def test_grid_kernel_streamed_matches_exact(seed, n, k, with_mask):
+    """The streamed-table variant (grid (G, 27), arithmetic index maps,
+    band scratch) must produce the identical certified result."""
+    key = jax.random.PRNGKey(seed)
+    coors = jax.random.uniform(key, (1, n, 3), jnp.float32) * 10.0
+    mask = ((jax.random.uniform(jax.random.PRNGKey(seed + 9), (1, n)) > 0.1)
+            if with_mask else None)
+    vals, idx, ok = grid_knn_select_pallas(
+        coors, k, mask=mask, interpret=True, gdim=4, streamed=True)
+    assert bool(ok)
+    evals, eidx = _exact(coors, k, mask)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6, atol=1e-6)
+
+
+def test_grid_kernel_streamed_lattice_ties():
+    g = 10
+    ax = np.arange(g, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    coors = jnp.asarray(np.stack([xx, yy, zz], -1).reshape(1, g**3, 3))
+    vals, idx, ok = grid_knn_select_pallas(
+        coors, 4, interpret=True, gdim=4, streamed=True)
+    assert bool(ok)
+    evals, eidx = _exact(coors, 4)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
