@@ -16,7 +16,14 @@ Kernels (SURVEY.md §7 stage 5):
                                      hand-written backward; opt-in only (the
                                      XLA gather pipeline measured faster at
                                      typical sizes).
+- ``grid_knn.grid_knn_select_pallas`` — grid-blocked spatial selection:
+                                     cell-shared candidate bands with an
+                                     exactness certificate; the structural
+                                     lever past the quadratic kernels' VPU
+                                     floor at n >= 8192 (resident-table and
+                                     streamed variants).
 """
+from .grid_knn import grid_knn_select_pallas, supports_grid_knn
 from .knn import (knn_select_pallas, knn_select_pallas_tiled,
                   supports_pallas_knn, supports_pallas_knn_shapes,
                   supports_pallas_knn_tiled)
@@ -25,6 +32,8 @@ from .segment import segment_sum_pallas, supports_pallas_segment_sum
 
 __all__ = [
     "knn_select_pallas",
+    "grid_knn_select_pallas",
+    "supports_grid_knn",
     "knn_select_pallas_tiled",
     "supports_pallas_knn_tiled",
     "supports_pallas_knn",
