@@ -558,7 +558,8 @@ class EGNNSparseNetwork(nn.Module):
     uniform_degree: Optional[int] = None
     # Per-layer passthroughs (see the EGNNSparse fields of the same name):
     # mixed-precision message path, and the fused uniform-degree Pallas
-    # pipeline (None = auto on TPU).
+    # pipeline (None currently resolves to OFF — opt-in pending the
+    # on-chip A/B, matching the EGNNSparse field docstring).
     compute_dtype: Any = None
     fused_uniform: Optional[bool] = None
 

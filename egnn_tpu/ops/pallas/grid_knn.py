@@ -34,9 +34,9 @@ Layout notes (Mosaic constraints, see CLAUDE.md gotchas):
 - candidate table: ((G+1)*8, m_cap) f32, row 8*c+cc = coordinate cc of
   cell c, row 8*c+3 = global ids as f32 — dynamic sublane slices must be
   8-row aligned, so each cell owns a full 8-row group (rows 4..7 unused).
-  Empty slots hold SENTINEL_XYZ coordinates whose squared distance (~3e18)
-  loses to every real pair but stays far below the eviction fill (3.4e38),
-  and gid n (sorts after every real id).
+  Empty slots hold BOX-RELATIVE sentinel coordinates (hi + 10*diag + 1,
+  see _grid_knn_main — provably never outrank a real candidate at any
+  data scale) and gid n (sorts after every real id).
 - query table: (G+1, m_cap, 4) f32 streamed one cell per program via the
   BlockSpec index map (slots on sublanes, coords on lanes — the same
   orientation trick as the quadratic kernels' (n, c) x (c, n) pair).
@@ -60,8 +60,11 @@ from ..spatial import _neighbor_cells, cell_assignment, resort_and_certify
 
 _LANE = 128
 M_CAP = 128          # slots per cell == one lane tile (alignment-free)
-SENTINEL_XYZ = 1e9   # empty-slot coordinate: d^2 ~ 3e18 << eviction fill
 _EVICT_FILL = 3.4e38
+# Scale guard for the box-relative sentinel argument below: coordinates
+# and box diagonals beyond this are early-rejected (squares would approach
+# f32 infinity and the sentinel separation bound would stop holding).
+_SCALE_MAX = 1e15
 
 # Mean-occupancy target: high enough that slot padding stays ~2x (the band
 # is 27*M_CAP wide regardless), low enough that the Poisson tail never
@@ -285,10 +288,19 @@ def _grid_knn_cells_call_streamed(cand_tab3, q_tab, *, k, gdim, n, interpret):
     return vals, gids
 
 
-def _grid_knn_main(c32, valid, cid, pos, margin, ncand,
+def _grid_knn_main(c32, valid, cid, pos, margin, ncand, sent,
                    *, k, gdim, interpret, has_mask, streamed=False):
     """Tables + kernel + finalize for one batch element (early checks
-    already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok)."""
+    already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok).
+
+    ``sent`` (3,) f32: BOX-RELATIVE empty-slot sentinel coordinates,
+    hi + 10*diag + 1 per axis. Any in-box point is then at least
+    (9*diag+1)^2 squared distance from a sentinel while real in-box pairs
+    are at most diag^2 apart — sentinels can NEVER outrank a real
+    candidate, at any data scale, so a certified row (>= k real
+    candidates in its block) provably selected only real neighbors. A
+    fixed absolute sentinel would silently lose that property for data
+    living near the sentinel coordinate."""
     n = c32.shape[0]
     G = gdim ** 3
     m_cap = M_CAP
@@ -299,8 +311,10 @@ def _grid_knn_main(c32, valid, cid, pos, margin, ncand,
     pos_s = jnp.where(ok_node, jnp.minimum(pos, m_cap - 1), m_cap)
     xyzg = jnp.concatenate(
         [c32, jnp.arange(n, dtype=jnp.float32)[:, None]], axis=1)  # (n, 4)
-    tab = jnp.full((G + 2, m_cap + 1, 4), jnp.float32(SENTINEL_XYZ))
-    tab = tab.at[:, :, 3].set(jnp.float32(n))
+    tab = jnp.concatenate([
+        jnp.broadcast_to(sent, (G + 2, m_cap + 1, 3)),
+        jnp.full((G + 2, m_cap + 1, 1), jnp.float32(n)),
+    ], axis=-1)
     tab = tab.at[bat_s, pos_s].set(xyzg)[:G + 1, :m_cap]   # (G+1, m_cap, 4)
     q_tab = tab
     # candidate orientation: rows 8c+0..3 = x,y,z,gid
@@ -364,14 +378,30 @@ def grid_knn_select_pallas(
     ncand = jax.vmap(
         lambda cnts, ci: jnp.sum(cnts[nbr[jnp.minimum(ci, G - 1)]], axis=1)
     )(counts, cid)                                          # (b, n)
-    early_ok = (~overflow) & jnp.all((ncand >= k) | ~valid)
+
+    # box-relative sentinel coordinates (see _grid_knn_main) + scale guard
+    big = jnp.float32(3.4e38)
+    vv3 = valid[..., None]
+    lo = jnp.min(jnp.where(vv3, c32, big), axis=1)          # (b, 3)
+    hi = jnp.max(jnp.where(vv3, c32, -big), axis=1)
+    diag = jnp.sqrt(jnp.sum(jnp.maximum(hi - lo, 0.0) ** 2, axis=-1,
+                            keepdims=True))                 # (b, 1)
+    sent = hi + 10.0 * diag + 1.0                           # (b, 3)
+    scale_ok = jnp.all(
+        (jnp.abs(jnp.where(jnp.isfinite(hi), hi, 0.0)) < _SCALE_MAX)
+        & (jnp.abs(jnp.where(jnp.isfinite(lo), lo, 0.0)) < _SCALE_MAX)
+    ) & jnp.all(diag < _SCALE_MAX)
+
+    early_ok = ((~overflow) & scale_ok
+                & jnp.all((ncand >= k) | ~valid))
 
     main = functools.partial(
         _grid_knn_main, k=k, gdim=gdim, interpret=interpret,
         has_mask=mask is not None, streamed=streamed)
 
     def _run(_):
-        vals, idx, ok = jax.vmap(main)(c32, valid, cid, pos, margin, ncand)
+        vals, idx, ok = jax.vmap(main)(c32, valid, cid, pos, margin, ncand,
+                                       sent)
         return vals, idx, jnp.all(ok)
 
     def _skip(_):

@@ -158,3 +158,22 @@ def test_grid_kernel_streamed_lattice_ties():
     assert bool(ok)
     evals, eidx = _exact(coors, 4)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
+def test_grid_kernel_exact_at_extreme_coordinate_offsets():
+    """Box-relative sentinels: data living near what a fixed absolute
+    sentinel coordinate would be (1e9) must still be certified-and-exact —
+    empty slots may never masquerade as neighbors."""
+    key = jax.random.PRNGKey(6)
+    base = jax.random.uniform(key, (1, 1024, 3), jnp.float32)
+    # box [0.99e9, 1.01e9]: wide enough that f32 still resolves the cloud
+    # (ulp at 1e9 is 64), centered where the old absolute sentinel lived
+    coors = base * 2e7 + 0.99e9
+    vals, idx, ok = grid_knn_select_pallas(coors, 8, interpret=True, gdim=4)
+    assert bool(ok), "offset clouds should certify"
+    evals, eidx = _exact(coors, 8)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+    # beyond the scale guard: reject, never lie
+    _, _, ok2 = grid_knn_select_pallas(coors * 1e7, 8, interpret=True, gdim=4)
+    assert not bool(ok2)
