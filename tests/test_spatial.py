@@ -173,3 +173,18 @@ def test_grid_fuzz_certified_means_exact(seed):
     a = knn_select(coors, k, float("inf"), mask=mask, backend="auto")
     g = knn_select(coors, k, float("inf"), mask=mask, backend="grid")
     np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
+
+
+def test_grid_dispatch_mixed_certifiability_batch():
+    """b=3 with one clustered element: the per-call certificate rejects the
+    whole call and the dispatch fallback must still equal auto exactly."""
+    key = jax.random.PRNGKey(21)
+    uni = jax.random.uniform(key, (2, 1024, 3), jnp.float32) * 10.0
+    gauss = jax.random.normal(jax.random.PRNGKey(22), (1, 1024, 3),
+                              jnp.float32) * 10.0
+    coors = jnp.concatenate([uni, gauss], axis=0)
+    a = knn_select(coors, 8, float("inf"), backend="auto")
+    g = knn_select(coors, 8, float("inf"), backend="grid")
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
+    np.testing.assert_allclose(np.asarray(g.ranking), np.asarray(a.ranking),
+                               rtol=1e-6)
