@@ -235,7 +235,21 @@ def knn_select_gather(
     on_tpu = jax.default_backend() == "tpu"  # Mosaic kernels are TPU-only
     kernel_ok = n >= 128 and 1 <= k <= 128
     kc = k + CANDIDATE_SLACK
-    use_packed = backend == "packed" and (
+
+    # Grid routing is resolved FIRST: when GRID_AUTO flips it on for
+    # backend="auto", it must take precedence over the packed-tiled branch
+    # below or the flip would silently not apply exactly where the grid
+    # wins most (n > 16384, where packed-tiled otherwise returns early).
+    use_grid = (
+        backend == "grid" and adj_mat is None and c == 3 and kernel_ok
+    )
+    if (not use_grid and backend == "auto" and GRID_AUTO and on_tpu
+            and adj_mat is None and c == 3 and kernel_ok):
+        from .pallas.grid_knn import supports_grid_knn
+
+        use_grid = supports_grid_knn(n, k)
+
+    use_packed = not use_grid and backend == "packed" and (
         (on_tpu or interpret) and adj_mat is None
         and kernel_ok and n >= 2 * kc
         and (interpret or supports_pallas_knn_packed(n, kc))
@@ -245,11 +259,11 @@ def knn_select_gather(
     # packed path's 16k win becomes negligible against the 3-op-round
     # savings on the O(n^2) band — so packed-tiled IS the auto default
     # there (measured: 65k depth-3 network 627 -> 437 ms).
-    use_packed_tiled = backend == "packed_tiled" or (
+    use_packed_tiled = not use_grid and (backend == "packed_tiled" or (
         backend == "auto" and on_tpu and adj_mat is None and kernel_ok
         and n >= 2 * kc and not supports_pallas_knn_shapes(n)
         and supports_pallas_knn_packed_tiled(n, kc)
-    )
+    ))
 
     if use_packed or use_packed_tiled:
         cand_fn = (knn_candidates_packed_tiled if use_packed_tiled
@@ -349,19 +363,12 @@ def knn_select_gather(
         gathered = jax.lax.optimization_barrier(gathered)
         return nbhd, gathered
 
-    # Spatial-grid candidate pruning (opt-in, 3-D only): O(n * 27 * m_cap)
-    # candidates instead of the O(n^2) ranking band, with a per-call
-    # exactness certificate; certificate failure lax.conds to the exact
-    # kernels, so results are always the exact masked selection (f32
-    # geometry; see ops/spatial.py for the certificate and its limits).
-    use_grid = (
-        backend == "grid" and adj_mat is None and c == 3 and kernel_ok
-    )
-    if (not use_grid and backend == "auto" and GRID_AUTO and on_tpu
-            and adj_mat is None and c == 3 and kernel_ok):
-        from .pallas.grid_knn import supports_grid_knn
-
-        use_grid = supports_grid_knn(n, k)
+    # Spatial-grid candidate pruning (use_grid resolved ABOVE the packed
+    # branch, 3-D only): O(n * 27 * m_cap) candidates instead of the
+    # O(n^2) ranking band, with a per-call exactness certificate;
+    # certificate failure lax.conds to the exact kernels, so results are
+    # always the exact masked selection (f32 geometry; see ops/spatial.py
+    # for the certificate and its limits).
     # Exact-selection routing, shared by the dispatch tail below and the
     # grid certificate's lax.cond fallback — ONE copy of the pallas/tiled/
     # jnp choice (the jnp arm stays dtype-native so CPU/f64 tie order is
