@@ -396,6 +396,51 @@ def knn_select_gather(
         neg_vals, idx_e = jax.lax.top_k(-ranking, num_nearest)
         return -neg_vals, idx_e
 
+    def _packed_tiled_vals_idx():
+        """k-compacted (vals f32, idx) via packed-tiled candidates + exact
+        refine — the same certified machinery the auto default uses beyond
+        n=16384, mirrored (without the payload fusion) so the grid
+        certificate's fallback costs what plain auto costs there instead
+        of the ~1.3x-slower exact tiled kernel."""
+        keys, cols = knn_candidates_packed_tiled(
+            coors_sg, kc, mask=mask, interpret=interpret)
+        okp = jnp.all(
+            (keys[..., kc - 1] > keys[..., k - 1])
+            | (keys[..., k - 1] >= PACKED_MASK_SENTINEL_TILED)
+        )
+
+        def _exact_cands(cc):
+            vals_e, idx_e = knn_select_pallas_tiled(
+                coors_sg, k, mask=mask, interpret=interpret)
+            pad = jnp.full(idx_e.shape[:-1] + (kc - k,), n, jnp.int32)
+            return jnp.concatenate([idx_e, pad], axis=-1)
+
+        cols = jax.lax.cond(okp, lambda cc: cc, _exact_cands, cols)
+        safe_cols = jnp.minimum(cols, n - 1)
+        tbl = coors_sg.astype(jnp.float32)
+        if mask is not None:
+            tbl = jnp.concatenate(
+                [tbl, mask[..., None].astype(jnp.float32)], axis=-1)
+        gj = jax.lax.stop_gradient(gather_nodes(tbl, safe_cols))
+        ci = coors_sg[:, :, None, :].astype(jnp.float32)
+        rank = jnp.sum((ci - gj[..., :c]) ** 2, axis=-1)
+        if mask is not None:
+            pair_ok = mask[:, :, None] & (gj[..., c] > 0.5)
+            rank = jnp.where(pair_ok, rank, jnp.float32(MASKED_RANK_FILL))
+        rank = jnp.where(cols >= n, jnp.float32("inf"), rank)
+        neg, order = jax.lax.top_k(-rank, k)
+        oh = order[..., None] == jnp.arange(kc)[None, None, None, :]
+        idx = jnp.max(
+            jnp.where(oh, safe_cols[:, :, None, :], 0), axis=-1
+        ).astype(jnp.int32)
+        return -neg, idx
+
+    grid_fb_packed = (
+        on_tpu and adj_mat is None and kernel_ok and n >= 2 * kc
+        and not supports_pallas_knn_shapes(n)
+        and supports_pallas_knn_packed_tiled(n, kc)
+    )
+
     if use_grid:
         from .pallas.grid_knn import grid_knn_select_pallas, supports_grid_knn
         from .spatial import grid_knn_select
@@ -411,7 +456,10 @@ def knn_select_gather(
             return gvals, gidx
 
         def _exact_fallback(_):
-            v, i = _exact_selection()
+            if grid_fb_packed:
+                v, i = _packed_tiled_vals_idx()
+            else:
+                v, i = _exact_selection()
             return v.astype(jnp.float32), i.astype(jnp.int32)
 
         vals, indices = jax.lax.cond(gok, _take_grid, _exact_fallback, None)

@@ -89,7 +89,11 @@ def grid_kernel_gdim(n: int) -> int:
 # VMEM table at all, ~2 MB scratch at any n (27x redundant HBM reads of
 # the 4 KB blocks are negligible next to the band compute).
 _RESIDENT_TABLE_MAX = 5 * 1024 * 1024
-_STREAMED_MAX_CELLS = 2 ** 15           # grid-step count backstop (G*27)
+# Cell-count backstop for the streamed variant (grid steps = 27x this, so
+# G=2^15 means ~885k sequential (128,128)-tile programs — per-step dispatch
+# overhead there is UNMEASURED; revisit the bound on-chip before relying
+# on n beyond ~3M).
+_STREAMED_MAX_CELLS = 2 ** 15
 
 
 def _grid_resident_ok(gdim: int) -> bool:

@@ -117,16 +117,24 @@ def test_grid_kernel_exact_through_boundary_ties():
 
 def test_grid_kernel_early_skip_on_clustered_data():
     """Gaussian clouds overflow the uniform grid's core cells; the early
-    certificate must reject BEFORE the kernel (ok=False; dispatch falls
-    back exactly)."""
-    coors = jax.random.normal(jax.random.PRNGKey(5), (1, 1024, 3),
+    certificate must reject (ok=False). n=2048 at gdim=4 puts ~12% of the
+    mass (~246 nodes) in the central cell — always > M_CAP=128."""
+    coors = jax.random.normal(jax.random.PRNGKey(5), (1, 2048, 3),
                               jnp.float32) * 10.0
-    # tight grid: core cells overflow M_CAP at this density
-    vals, idx, ok = grid_knn_select_pallas(coors, 8, interpret=True, gdim=4)
-    # whether it certifies depends on the draw; the invariant is exactness
-    if bool(ok):
-        evals, eidx = _exact(coors, 8)
-        np.testing.assert_array_equal(np.asarray(idx), eidx)
+    _, _, ok = grid_knn_select_pallas(coors, 8, interpret=True, gdim=4)
+    assert not bool(ok), "core-cell overflow must early-reject"
+
+
+def test_grid_kernel_early_skip_on_isolated_cluster():
+    """The candidate-count early component: a remote 4-point cluster whose
+    27-block holds only itself cannot supply k=8 candidates — reject."""
+    key = jax.random.PRNGKey(7)
+    bulk = jax.random.uniform(key, (1, 1020, 3), jnp.float32)  # [0,1]^3
+    far = jnp.asarray([[100.0, 100.0, 100.0]]) + jax.random.uniform(
+        jax.random.PRNGKey(8), (1, 4, 3), jnp.float32) * 0.01
+    coors = jnp.concatenate([bulk, far], axis=1)
+    _, _, ok = grid_knn_select_pallas(coors, 8, interpret=True, gdim=4)
+    assert not bool(ok), "ncand < k must early-reject"
 
 
 @pytest.mark.parametrize("seed,n,k,with_mask", [

@@ -299,3 +299,19 @@ def test_grid_knn_kernel_on_chip():
         lambda c: nb.knn_select(c, k, float("inf"), backend="grid"))(coors)
     np.testing.assert_array_equal(np.asarray(got.indices),
                                   np.asarray(ref.indices))
+
+
+def test_grid_knn_streamed_kernel_on_chip():
+    """Streamed-table grid variant (the auto pick past the resident-table
+    VMEM budget): Mosaic lowering of the arithmetic index maps, persistent
+    band scratch + pl.when extraction."""
+    from egnn_tpu.ops.pallas.grid_knn import grid_knn_select_pallas
+    n, k = 8192, 8
+    coors = jax.random.uniform(
+        jax.random.PRNGKey(23), (1, n, 3), jnp.float32) * 10.0
+    vals, idx, ok = jax.jit(
+        lambda c: grid_knn_select_pallas(c, k, streamed=True))(coors)
+    assert bool(ok)
+    ref = jax.jit(
+        lambda c: nb.knn_select(c, k, float("inf"), backend="pallas"))(coors)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
