@@ -26,86 +26,156 @@ DEPTH, DIM, N, KNN, BATCH = 3, 32, 1024, 8, 1
 # cancels the tunnel's fixed dispatch+fetch cost exactly. A single timed scan
 # absorbs that fixed cost (30-100 ms depending on tunnel health) and swings
 # the headline by +-20% between sessions.
-STEPS_LO, STEPS_HI = 100, 900
+STEPS_LO = int(os.environ.get("BENCH_STEPS_LO", "100"))
+STEPS_HI = int(os.environ.get("BENCH_STEPS_HI", "900"))
 EDGES_PER_STEP = BATCH * N * KNN * DEPTH
+
+
+def _set_knn_ti(ti):
+    """Override the full-band kNN kernel's row-band height (None = dispatcher
+    default) and clear its jit cache so the next trace picks it up. Tiling
+    only — selection results are bit-identical across ti."""
+    from egnn_tpu.ops.pallas import knn as K
+
+    if not hasattr(_set_knn_ti, "_orig"):
+        _set_knn_ti._orig = K._pick_ti
+    orig = _set_knn_ti._orig
+    if ti is None:
+        K._pick_ti = orig
+    else:
+        K._pick_ti = lambda n, _ti=ti: _ti if n % _ti == 0 else orig(n)
+    K._knn_call.clear_cache()
 
 
 def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: arm probing compiles several scan programs;
+    # make repeat runs (driver re-runs, queue runs) warm.
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from egnn_tpu import EGNNNetwork
     from egnn_tpu.training import TrainState, make_fused_adam, make_denoise_train_step
     from egnn_tpu.training.data import synthetic_chain_batch
 
-    net = EGNNNetwork(
-        depth=DEPTH, dim=DIM, num_tokens=21, num_positions=N,
-        layer_kwargs=dict(
-            num_nearest_neighbors=KNN, norm_coors=True, coor_weights_clamp_value=2.0
-        ),
-    )
     key = jax.random.PRNGKey(0)
     b = synthetic_chain_batch(key, BATCH, N)
-    params = jax.jit(net.init)(
-        key, b.tokens, b.noised_coors, adj_mat=b.adj_mat, mask=b.mask
-    )["params"]
-    # Fused flat-buffer Adam: identical math to optax.adam (trajectory-
-    # pinned in tests), ~8 fused ops over one buffer instead of ~8 x
-    # num_leaves launch-bound tiny kernels.
-    state = TrainState.create(params, make_fused_adam(1e-3))
-    step_fn = make_denoise_train_step(net)
 
-    # All timed steps run inside ONE jitted lax.scan per length so remote-
-    # dispatch latency appears once per call; the slope between the two
-    # lengths then cancels it exactly (the same discipline as
-    # utils/profiling.py:measure_op).
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("length",))
-    def run_scan(state, length):
-        def body(st, _):
-            st, loss = step_fn(
-                st, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
-            )
-            return st, loss
-        state, losses = jax.lax.scan(body, state, None, length=length)
-        return state, losses[-1]
-
-    def timed(state, length):
-        # Fetch the loss inside the timed region: through remote-TPU
-        # tunnels, block_until_ready can return before execution completes,
-        # and identical inputs may be replay-cached — the evolving state
-        # keeps inputs distinct, the fetch forces execution.
-        t0 = time.perf_counter()
-        state, loss = run_scan(state, length)
-        loss = float(loss)
-        dt = time.perf_counter() - t0
-        assert jnp.isfinite(loss), f"non-finite loss {loss}"
-        return state, dt
-
-    # warmup/compile both lengths
-    state, _ = run_scan(state, STEPS_LO)
-    state, _ = run_scan(state, STEPS_HI)
-    # best-of-3 per length, then slope of the bests: single-pair slopes can
-    # go negative when tunnel jitter between two calls exceeds the signal.
-    # A non-positive slope even on the bests means the tunnel is too noisy
-    # for a valid measurement — retry, then fail loudly rather than emit an
-    # absurd clamped number into the BENCH record.
-    for attempt in range(3):
-        t_lo = t_hi = float("inf")
-        for _ in range(3):
-            state, t = timed(state, STEPS_LO)
-            t_lo = min(t_lo, t)
-            state, t = timed(state, STEPS_HI)
-            t_hi = min(t_hi, t)
-        if t_hi > t_lo:
-            break
-    else:
-        raise RuntimeError(
-            f"non-positive timing slope after 3 attempts "
-            f"(t_lo={t_lo:.4f}s, t_hi={t_hi:.4f}s): tunnel too noisy"
+    def build(layer_extra):
+        net = EGNNNetwork(
+            depth=DEPTH, dim=DIM, num_tokens=21, num_positions=N,
+            layer_kwargs=dict(
+                num_nearest_neighbors=KNN, norm_coors=True,
+                coor_weights_clamp_value=2.0, **layer_extra,
+            ),
         )
-    per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
+        params = jax.jit(net.init)(
+            key, b.tokens, b.noised_coors, adj_mat=b.adj_mat, mask=b.mask
+        )["params"]
+        # Fused flat-buffer Adam: identical math to optax.adam (trajectory-
+        # pinned in tests), ~8 fused ops over one buffer instead of ~8 x
+        # num_leaves launch-bound tiny kernels.
+        state = TrainState.create(params, make_fused_adam(1e-3))
+        step_fn = make_denoise_train_step(net)
+
+        # All timed steps run inside ONE jitted lax.scan per length so
+        # remote-dispatch latency appears once per call; the slope between
+        # the two lengths then cancels it exactly (the same discipline as
+        # utils/profiling.py:measure_op).
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("length",))
+        def run_scan(state, length):
+            def body(st, _):
+                st, loss = step_fn(
+                    st, b.tokens, b.noised_coors, b.clean_coors, b.adj_mat, b.mask
+                )
+                return st, loss
+            state, losses = jax.lax.scan(body, state, None, length=length)
+            return state, losses[-1]
+
+        def timed(state, length):
+            # Fetch the loss inside the timed region: through remote-TPU
+            # tunnels, block_until_ready can return before execution
+            # completes, and identical inputs may be replay-cached — the
+            # evolving state keeps inputs distinct, the fetch forces
+            # execution.
+            t0 = time.perf_counter()
+            state, loss = run_scan(state, length)
+            loss = float(loss)
+            dt = time.perf_counter() - t0
+            assert jnp.isfinite(loss), f"non-finite loss {loss}"
+            return state, dt
+
+        return run_scan, timed, state
+
+    def measure(layer_extra, ti, best_of):
+        """Slope measurement for one arm; best-of-``best_of`` per length.
+        Raises on compile failure (caller skips the arm) or on a
+        non-positive slope after retries."""
+        _set_knn_ti(ti)
+        try:
+            run_scan, timed, state = build(layer_extra)
+            # warmup/compile both lengths
+            state, _ = run_scan(state, STEPS_LO)
+            state, _ = run_scan(state, STEPS_HI)
+            # best-of-N per length, then slope of the bests: single-pair
+            # slopes can go negative when tunnel jitter between two calls
+            # exceeds the signal. A non-positive slope even on the bests
+            # means the tunnel is too noisy for a valid measurement —
+            # retry, then fail loudly rather than emit an absurd clamped
+            # number into the BENCH record.
+            for attempt in range(3):
+                t_lo = t_hi = float("inf")
+                for _ in range(best_of):
+                    state, t = timed(state, STEPS_LO)
+                    t_lo = min(t_lo, t)
+                    state, t = timed(state, STEPS_HI)
+                    t_hi = min(t_hi, t)
+                if t_hi > t_lo:
+                    break
+            else:
+                raise RuntimeError(
+                    f"non-positive timing slope after 3 attempts "
+                    f"(t_lo={t_lo:.4f}s, t_hi={t_hi:.4f}s): tunnel too noisy"
+                )
+            return (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
+        finally:
+            _set_knn_ti(None)
+
+    # ---- arm probe: all arms are exact/parity-tested configurations of the
+    # SAME network (fused_pairs: tests/test_pair_messages.py + tests_tpu;
+    # ti: kernel tiling only). Autotune = probe each with a quick slope,
+    # then run the full discipline on the winner. Non-default arms that
+    # fail (e.g. ti=1024 sits at the VMEM edge) are skipped, never fatal.
+    arms = [
+        ("default", {}, None),
+        ("fused_pairs", dict(fused_pairs=True), None),
+        ("ti1024", {}, 1024),
+        ("fused_pairs+ti1024", dict(fused_pairs=True), 1024),
+    ]
+    t_start = time.perf_counter()
+    results = {}
+    for name, extra, ti in arms:
+        if name != "default" and time.perf_counter() - t_start > 360:
+            print(f"arm {name}: skipped (probe time budget)", file=sys.stderr)
+            continue
+        try:
+            per_step = measure(extra, ti, best_of=2)
+            results[name] = per_step
+            print(f"arm {name}: {per_step*1e6:.1f} us/step", file=sys.stderr)
+        except Exception as e:
+            if name == "default":
+                raise
+            print(f"arm {name}: skipped ({type(e).__name__}: {str(e)[:200]})",
+                  file=sys.stderr)
+
+    winner = min(results, key=results.get)
+    extra, ti = next((e, t) for n, e, t in arms if n == winner)
+    print(f"winner: {winner}", file=sys.stderr)
+    per_step = measure(extra, ti, best_of=3)
     return EDGES_PER_STEP / per_step
 
 

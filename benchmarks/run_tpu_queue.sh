@@ -22,5 +22,5 @@ run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
 run ab_ti        590  python benchmarks/ab_ti.py
 run bench_all    900  python benchmarks/bench_all.py
 run step_over    590  python benchmarks/step_overhead.py
-run bench        590  python bench.py
+run bench        900  python bench.py   # 4-arm autotune probe + final measure
 echo "QUEUE DONE $(date)" | tee -a "$R/queue.log"
