@@ -459,3 +459,28 @@ def test_wide_boundary_tie_group_exact():
     ridx = np.asarray(ref.indices)
     for i in range(n):
         assert set(idx[0, i][w[0, i]].tolist()) == set(ridx[0, i].tolist()), i
+
+
+@pytest.mark.parametrize("ti", [128, 256])
+def test_row_band_height_invariance(ti):
+    """bench.py's autotune probes the full-band kernel at overridden row-band
+    heights (ti=1024 arm): selection must be bit-identical across ti — the
+    band height is pure tiling. Pin that invariance (and the bench helper's
+    restore semantics) at two heights against the default."""
+    import bench
+
+    coors, mask, adj = _random_case(21, 2, 256, 3, 8, True, True)
+    base_v, base_i = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
+                                       interpret=True)
+    from egnn_tpu.ops.pallas import knn as K
+    default_pick = K._pick_ti
+    try:
+        bench._set_knn_ti(ti)
+        assert K._pick_ti(256) == ti
+        v, i = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(base_i))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(base_v))
+    finally:
+        bench._set_knn_ti(None)
+    assert K._pick_ti(256) == default_pick(256)
