@@ -188,3 +188,24 @@ def test_grid_dispatch_mixed_certifiability_batch():
     np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
     np.testing.assert_allclose(np.asarray(g.ranking), np.asarray(a.ranking),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,k", [(1024, 8), (2048, 8)])
+def test_grid_integer_lattice_ties(n, k):
+    """Integer-lattice clouds tie in almost every distance comparison (the
+    deep-fuzz family the other tests lack): the grid path must either
+    reject, or match the exact selection's indices AND tie order; the
+    dispatch fallback must equal auto either way."""
+    rng = np.random.RandomState(n + k)
+    side = max(2, int(round(n ** (1 / 3))))
+    coors = jnp.asarray(
+        rng.randint(0, side, size=(1, n, 3)).astype(np.float32))
+    vals, idx, ok = grid_knn_select(coors, k)
+    if bool(ok):
+        evals, eidx = _exact(coors, k)
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
+        np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-6,
+                                   atol=1e-6)
+    a = knn_select(coors, k, float("inf"), backend="auto")
+    g = knn_select(coors, k, float("inf"), backend="grid")
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
