@@ -111,6 +111,63 @@ def bench_tpu() -> float:
 
         return run_scan, timed, state
 
+    def forward_outputs(layer_extra, ti):
+        """One jitted network forward under the arm's config (numpy out).
+        Param trees are identical across arms (the flags add no params),
+        so outputs are comparable against the default arm's."""
+        import numpy as np
+        _set_knn_ti(ti)
+        try:
+            net = EGNNNetwork(
+                depth=DEPTH, dim=DIM, num_tokens=21, num_positions=N,
+                layer_kwargs=dict(
+                    num_nearest_neighbors=KNN, norm_coors=True,
+                    coor_weights_clamp_value=2.0, **layer_extra,
+                ),
+            )
+            variables = {"params": jax.jit(net.init)(
+                key, b.tokens, b.noised_coors, adj_mat=b.adj_mat, mask=b.mask
+            )["params"]}
+            f, c = jax.jit(net.apply)(
+                variables, b.tokens, b.noised_coors, adj_mat=b.adj_mat,
+                mask=b.mask)
+            return np.asarray(f), np.asarray(c)
+        finally:
+            _set_knn_ti(None)
+
+    def arm_sane(layer_extra, ti, ref_fc):
+        """On-chip correctness gate before an arm may win the probe:
+        interpret-mode parity (tests/) cannot catch Mosaic LOWERING bugs,
+        and the probe must never select a fast-but-wrong arm.
+        (a) ti overrides: selection indices must be bit-identical to the
+        default band height (pure tiling); (b) any arm: network forward
+        must track the default arm's outputs (loose tol — bf16 MXU and op
+        reordering move low bits, garbage/NaN/zero moves much more)."""
+        import numpy as np
+        if ti is not None and jax.default_backend() == "tpu":
+            from egnn_tpu.ops.pallas.knn import knn_select_pallas
+            cs = jax.random.normal(jax.random.PRNGKey(7), (BATCH, N, 3),
+                                   jnp.float32)
+            adj = jnp.abs(jnp.arange(N)[:, None] - jnp.arange(N)[None, :]) == 1
+            adjb = jnp.broadcast_to(adj, (BATCH, N, N))
+            mk = jnp.ones((BATCH, N), bool)
+            _set_knn_ti(ti)
+            try:
+                v1, i1 = jax.jit(lambda c: knn_select_pallas(
+                    c, KNN, mask=mk, adj_mat=adjb))(cs)
+                i1 = np.asarray(i1)
+            finally:
+                _set_knn_ti(None)
+            v0, i0 = jax.jit(lambda c: knn_select_pallas(
+                c, KNN, mask=mk, adj_mat=adjb))(cs)
+            if not np.array_equal(i1, np.asarray(i0)):
+                return False
+        f, c = forward_outputs(layer_extra, ti)
+        fr, cr = ref_fc
+        return (np.isfinite(f).all() and np.isfinite(c).all()
+                and np.allclose(f, fr, rtol=0.1, atol=0.1)
+                and np.allclose(c, cr, rtol=0.1, atol=0.1))
+
     def measure(layer_extra, ti, best_of):
         """Slope measurement for one arm; best-of-``best_of`` per length.
         Raises on compile failure (caller skips the arm) or on a
@@ -158,11 +215,18 @@ def bench_tpu() -> float:
     ]
     t_start = time.perf_counter()
     results = {}
+    ref_fc = None
     for name, extra, ti in arms:
         if name != "default" and time.perf_counter() - t_start > 360:
             print(f"arm {name}: skipped (probe time budget)", file=sys.stderr)
             continue
         try:
+            if name == "default":
+                ref_fc = forward_outputs(extra, ti)
+            elif not arm_sane(extra, ti, ref_fc):
+                print(f"arm {name}: skipped (failed on-chip sanity gate)",
+                      file=sys.stderr)
+                continue
             per_step = measure(extra, ti, best_of=2)
             results[name] = per_step
             print(f"arm {name}: {per_step*1e6:.1f} us/step", file=sys.stderr)
