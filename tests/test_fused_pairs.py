@@ -106,3 +106,36 @@ def test_fused_pairs_fallback_unsupported():
     o_fused = fused.apply(params, feats, coors, edges)
     for a, b in zip(o_fused, o_ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pairs_adjacency_parity():
+    """The flagship bench arm runs fused_pairs UNDER an adjacency matrix
+    (EGNN_Network passes adj_mat through to the layer): selection then
+    carries the -1/0 rank fills, and the pair kernel consumes the gathered
+    results + nbhd.valid. Outputs and full gradients must match the XLA
+    pipeline in exactly this configuration."""
+    n, k, d = 64, 8, 16
+    ref, fused, params, feats, coors = _setup(
+        5, n=n, k=k, d=d, norm_coors=True, coor_weights_clamp_value=2.0)
+    ar = np.arange(n)
+    adj = np.zeros((n, n), bool)
+    adj[ar[:-1], ar[1:]] = adj[ar[1:], ar[:-1]] = True
+    adj = jnp.asarray(adj[None])
+    mask = jax.random.uniform(jax.random.PRNGKey(11), (1, n)) > 0.2
+
+    o_ref = ref.apply(params, feats, coors, mask=mask, adj_mat=adj)
+    o_fused = fused.apply(params, feats, coors, mask=mask, adj_mat=adj)
+    for a, b in zip(o_fused, o_ref):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def loss(net, p, f, c):
+        fo, co = net.apply(p, f, c, mask=mask, adj_mat=adj)
+        return (fo ** 2).mean() + (jnp.tanh(co) ** 2).mean()
+
+    gr = jax.grad(lambda p, f, c: loss(ref, p, f, c), argnums=(0, 1, 2))(
+        params, feats, coors)
+    gf = jax.grad(lambda p, f, c: loss(fused, p, f, c), argnums=(0, 1, 2))(
+        params, feats, coors)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5),
+        gf, gr)
