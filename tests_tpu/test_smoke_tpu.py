@@ -216,6 +216,37 @@ def test_fused_pairs_dense_parity_on_chip():
     assert np.isfinite(float(lf)) and np.isfinite(float(lp))
 
 
+def test_fused_pairs_flagship_arm_parity_on_chip():
+    """The exact bench.py autotune arm: fused_pairs under mask + chain
+    adjacency at flagship shape (n=1024, k=8, dim=32). The probe's sanity
+    gate uses loose tolerances; this test is the tight on-chip check."""
+    n, k, d = 1024, 8, 32
+    feats = 0.5 * _rand((1, n, d), 0)
+    coors = 2.0 * _rand((1, n, 3), 1)
+    ar = jnp.arange(n)
+    adj = (jnp.abs(ar[:, None] - ar[None, :]) == 1)[None]
+    mask = jax.random.uniform(jax.random.PRNGKey(5), (1, n)) > 0.1
+    common = dict(dim=d, num_nearest_neighbors=k, norm_coors=True,
+                  coor_weights_clamp_value=2.0)
+    plain = EGNN(**common)
+    fused = EGNN(**common, fused_pairs=True)
+    params = jax.jit(plain.init)(
+        jax.random.PRNGKey(2), feats, coors, mask=mask, adj_mat=adj)
+
+    def loss(net, c):
+        fo, co = net.apply(params, feats, c, mask=mask, adj_mat=adj)
+        return (fo ** 2).mean() + (co ** 2).mean(), (fo, co)
+
+    (lf, (ff, cf)), gf = jax.jit(jax.value_and_grad(
+        lambda c: loss(fused, c), has_aux=True))(coors)
+    (lp, (fp, cp)), gp = jax.jit(jax.value_and_grad(
+        lambda c: loss(plain, c), has_aux=True))(coors)
+    assert float(jnp.abs(ff - fp).max()) < ATOL
+    assert float(jnp.abs(cf - cp).max()) < ATOL
+    assert float(jnp.abs(gf - gp).max()) < ATOL
+    assert np.isfinite(float(lf)) and np.isfinite(float(lp))
+
+
 def test_fused_uniform_sparse_parity_on_chip():
     """The Mosaic-compiled fused pair pipeline (fused_uniform=True) vs the
     XLA per-edge path, fwd + coordinate grads. Both run bf16 MXU passes,
