@@ -15,12 +15,17 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- $name exit=$st ---" | tee -a "$R/queue.log"
 }
 
-run smoke        1200 python -m pytest tests_tpu/ -q
+# VALUE-ORDERED: if the tunnel window is short, the top of this list is
+# what we cannot afford to lose. Critical-path smoke subset first (the
+# kernels the headline depends on), then the driver metric, then the
+# VERDICT-target A/Bs, then the rest, full smoke suite last.
+run smoke_hot    900  python -m pytest tests_tpu/ -q -k "flagship or fused or knn_select or train_step"
+run bench        900  python bench.py   # 4-arm autotune probe + final measure
+run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
+run bench_all    900  python benchmarks/bench_all.py
 run ab_grid      590  python benchmarks/ab_grid.py 16384 65536
 run brk65k       900  python benchmarks/breakdown_65k.py
-run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
 run ab_ti        590  python benchmarks/ab_ti.py
-run bench_all    900  python benchmarks/bench_all.py
 run step_over    590  python benchmarks/step_overhead.py
-run bench        900  python bench.py   # 4-arm autotune probe + final measure
+run smoke        1200 python -m pytest tests_tpu/ -q
 echo "QUEUE DONE $(date)" | tee -a "$R/queue.log"
