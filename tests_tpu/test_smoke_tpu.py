@@ -271,8 +271,15 @@ def test_fused_uniform_sparse_parity_on_chip():
         lambda xx: loss(fused, xx), has_aux=True))(x)
     (lp, op_), gp = jax.jit(jax.value_and_grad(
         lambda xx: loss(plain, xx), has_aux=True))(x)
-    assert float(jnp.abs(of - op_).max()) < ATOL
-    assert float(jnp.abs(gf - gp).max()) < ATOL
+    # Scale-aware bound: interpret-mode parity (tests/test_fused_uniform.py)
+    # pins the kernel math exactly; on chip the two paths round bf16 MXU
+    # passes in different op orders, measured up to ~2.4% of output scale
+    # (0.067 on |out|~2.8). A lowering bug deviates at O(scale), which 3%
+    # still catches.
+    o_scale = max(1.0, float(jnp.abs(op_).max()))
+    g_scale = max(1e-3, float(jnp.abs(gp).max()))
+    assert float(jnp.abs(of - op_).max()) < ATOL * o_scale
+    assert float(jnp.abs(gf - gp).max()) < ATOL * g_scale
     assert np.isfinite(float(lf)) and np.isfinite(float(lp))
 
 
