@@ -207,17 +207,22 @@ def bench_tpu() -> float:
     # ti: kernel tiling only). Autotune = probe each with a quick slope,
     # then run the full discipline on the winner. Non-default arms that
     # fail (e.g. ti=1024 sits at the VMEM edge) are skipped, never fatal.
+    # Value-ordered (probe budget may cut the tail): bf16 messages measured
+    # 1.93x on the streamed dense path and is parity-tested on the kNN path
+    # (tests/test_mixed_precision.py) — probe it before the r3 arms that
+    # measured as losses (fused_pairs 727 vs 681 us). Row-band ti arms are
+    # gone: ab_ti (round 4) settled ti=128 as the dispatcher default.
     arms = [
         ("default", {}, None),
+        ("bf16", dict(compute_dtype=jnp.bfloat16), None),
+        ("bf16+fused_pairs", dict(compute_dtype=jnp.bfloat16, fused_pairs=True), None),
         ("fused_pairs", dict(fused_pairs=True), None),
-        ("ti1024", {}, 1024),
-        ("fused_pairs+ti1024", dict(fused_pairs=True), 1024),
     ]
     t_start = time.perf_counter()
     results = {}
     ref_fc = None
     for name, extra, ti in arms:
-        if name != "default" and time.perf_counter() - t_start > 360:
+        if name != "default" and time.perf_counter() - t_start > 480:
             print(f"arm {name}: skipped (probe time budget)", file=sys.stderr)
             continue
         try:

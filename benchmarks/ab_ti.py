@@ -1,11 +1,13 @@
 """A/B the full-band kNN kernel's row-band height (ti) at flagship sizes.
 
-At n=1024/k=8 the kernel measures ~50 us against a ~13 us VPU-op model —
-the gap is per-program fixed cost (2 programs at ti=512). This harness
-monkeypatches _pick_ti and clears the jit cache to measure ti in
-{256, 512, 1024} (1024 = ONE grid program; band+iota+evict ~12.5 MB VMEM,
-slightly over the dispatcher's 12 MB budget — may fail to compile, which
-this harness reports rather than crashes).
+At n=1024/k=8 the kernel measures ~50 us against a ~13 us VPU-op model.
+Round-4 on-chip result: the gap is the BAND HEIGHT itself, not per-program
+fixed cost — ti=256 (4 programs) runs 13.9 us vs ti=512 (2 programs)
+49.8 us and ti=1024 (1 program) 53.9 us. This harness monkeypatches
+_pick_ti and clears the jit cache to measure ti in {128, 256, 512, 1024},
+both bare and under the flagship's mask+adjacency bands, checking index
+equality against the dispatcher default before reporting a time (tiling
+must not change selection).
 
 Run on the TPU: timeout 590 python benchmarks/ab_ti.py
 """
@@ -16,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -26,23 +29,40 @@ from egnn_tpu.utils.profiling import measure_op
 N, KNN, B = 1024, 8, 1
 
 
-def arm(ti):
+def _args(with_adj):
+    coors = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
+    if not with_adj:
+        return (coors,), {}
+    ar = jnp.arange(N)
+    adj = jnp.broadcast_to(jnp.abs(ar[:, None] - ar[None, :]) == 1, (B, N, N))
+    return (coors,), dict(mask=jnp.ones((B, N), bool), adj_mat=adj)
+
+
+def arm(ti, with_adj, ref_idx):
     orig = K._pick_ti
-    K._pick_ti = lambda n, _ti=ti: _ti if n % _ti == 0 else orig(n)
+    if ti is not None:
+        K._pick_ti = lambda n, _ti=ti: _ti if n % _ti == 0 else orig(n)
+    label = f"ti={ti or 'default'}{' +mask+adj' if with_adj else ''}"
     try:
         K._knn_call.clear_cache()
-        coors = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
+        (coors,), kw = _args(with_adj)
+
+        _, idx = jax.jit(lambda c: K.knn_select_pallas(c, KNN, **kw))(coors)
+        idx = np.asarray(idx)
+        if ref_idx is not None and not np.array_equal(idx, ref_idx):
+            print(f"{label}: INDEX MISMATCH vs default — not a pure tiling")
+            return None, idx
 
         def sel(c):
-            v, i = K.knn_select_pallas(c, KNN)
+            v, i = K.knn_select_pallas(c, KNN, **kw)
             return v.sum() + i.sum()
 
         t = measure_op(lambda c: sel(c), coors, reps_lo=200, reps_hi=800)
-        print(f"ti={ti}: {t*1e6:.1f} us")
-        return t
+        print(f"{label}: {t*1e6:.1f} us")
+        return t, idx
     except Exception as e:  # compile failure at the VMEM edge
-        print(f"ti={ti}: FAILED ({type(e).__name__}: {str(e)[:120]})")
-        return None
+        print(f"{label}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+        return None, None
     finally:
         K._pick_ti = orig
         K._knn_call.clear_cache()
@@ -50,5 +70,7 @@ def arm(ti):
 
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
-    for ti in (256, 512, 1024):
-        arm(ti)
+    for with_adj in (False, True):
+        _, ref_idx = arm(None, with_adj, None)
+        for ti in (128, 256, 512, 1024):
+            arm(ti, with_adj, ref_idx)

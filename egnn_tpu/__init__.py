@@ -19,7 +19,19 @@ from .models.egnn_sparse import (
 )
 
 # Reference-style aliases (egnn_pytorch/__init__.py exports these four names).
-EGNN_Network = EGNNNetwork
+# EGNN_Network additionally accepts the reference's **kwargs passthrough
+# (egnn_pytorch.py:344,387: unknown kwargs forward to every EGNN layer) —
+# `EGNN_Network(depth=3, dim=32, num_nearest_neighbors=8)` works as-is,
+# equivalent to EGNNNetwork(..., layer_kwargs=dict(num_nearest_neighbors=8)).
+def EGNN_Network(**kwargs) -> EGNNNetwork:
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(EGNNNetwork)}
+    layer_kwargs = dict(kwargs.pop("layer_kwargs", None) or {})
+    extra = {k: kwargs.pop(k) for k in list(kwargs) if k not in fields}
+    return EGNNNetwork(**kwargs, layer_kwargs={**extra, **layer_kwargs})
+
+
 EGNN_Sparse = EGNNSparse
 EGNN_Sparse_Network = EGNNSparseNetwork
 

@@ -40,7 +40,9 @@ Layout notes (Mosaic constraints, see CLAUDE.md gotchas):
 - query table: (G+1, m_cap, 4) f32 streamed one cell per program via the
   BlockSpec index map (slots on sublanes, coords on lanes — the same
   orientation trick as the quadratic kernels' (n, c) x (c, n) pair).
-- neighbor cell ids: (G, 27) int32 in SMEM, one row per program.
+- neighbor cell ids: decoded arithmetically from program_id inside the
+  kernel (both variants) — an SMEM (rows, 27) table block trips Mosaic's
+  8-sublane divisibility rule on-chip.
 
 Reference behavior mirrored: self IS a candidate (egnn_pytorch.py:258);
 masked nodes are excluded from the tables and masked query rows get the
@@ -148,16 +150,32 @@ def _lex_topk(band, gband, k, n):
             jnp.concatenate(gids, axis=1).astype(jnp.int32))
 
 
-def _grid_knn_kernel(nbr_ref, cand_ref, q_ref, vals_ref, gid_ref,
-                     *, k: int, m_cap: int, n: int):
+def _grid_knn_kernel(cand_ref, q_ref, vals_ref, gid_ref,
+                     *, k: int, m_cap: int, n: int, gdim: int):
     """One spatial cell per program: rank the 27-block candidate band for
     the cell's m_cap query slots; emit top-k (vals, global ids) selected by
     lexicographic (distance, gid) — jax.lax.top_k's exact set and content
-    even through f32 distance ties."""
+    even through f32 distance ties.
+
+    Neighbor cell ids are decoded ARITHMETICALLY from program_id (the same
+    decode as the streamed variant's index map): an SMEM neighbor table
+    would need a (rows, 27) block whose row count Mosaic rejects unless
+    8-divisible (hit on-chip in round 4 — interpret mode does not enforce
+    the sublane rule)."""
+    G = gdim ** 3
+    g2 = gdim * gdim
+    c = pl.program_id(0)
+    ix = c // g2
+    iy = (c // gdim) % gdim
+    iz = c % gdim
     q = q_ref[0]                                    # (m_cap, 4)
     dblocks, gblocks = [], []
     for j in range(27):
-        cell = nbr_ref[0, j]
+        dx, dy, dz = j // 9 - 1, (j // 3) % 3 - 1, j % 3 - 1
+        nx, ny, nz = ix + dx, iy + dy, iz + dz
+        inb = ((nx >= 0) & (nx < gdim) & (ny >= 0) & (ny < gdim)
+               & (nz >= 0) & (nz < gdim))
+        cell = jnp.where(inb, (nx * gdim + ny) * gdim + nz, G)
         r0 = pl.multiple_of(cell * 8, 8)
         blk = cand_ref[pl.ds(r0, 8), :]             # (8, m_cap): x,y,z,gid
         dblocks.append(_dist_block(q, blk, m_cap))
@@ -191,21 +209,19 @@ def _grid_knn_streamed_kernel(cand_blk_ref, q_ref, vals_ref, gid_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gdim", "n", "interpret"))
-def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, n, interpret):
+def _grid_knn_cells_call(cand_tab, q_tab, *, k, gdim, n, interpret):
     """Run the kernel over all G cells.
 
-    cand_tab ((G+1)*8, m_cap) f32, q_tab (G+1, m_cap, 4) f32,
-    nbr (G, 27) int32. Returns (vals (G, m_cap, k) f32,
-    gids (G, m_cap, k) int32)."""
+    cand_tab ((G+1)*8, m_cap) f32, q_tab (G+1, m_cap, 4) f32.
+    Returns (vals (G, m_cap, k) f32, gids (G, m_cap, k) int32)."""
     G = gdim ** 3
     m_cap = M_CAP
-    kernel = functools.partial(_grid_knn_kernel, k=k, m_cap=m_cap, n=n)
+    kernel = functools.partial(
+        _grid_knn_kernel, k=k, m_cap=m_cap, n=n, gdim=gdim)
     vals, gids = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 27), lambda c: (c, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec(cand_tab.shape, lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_cap, 4), lambda c: (c, 0, 0),
@@ -228,7 +244,7 @@ def _grid_knn_cells_call(cand_tab, q_tab, nbr, *, k, gdim, n, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(nbr, cand_tab, q_tab)
+    )(cand_tab, q_tab)
     return vals, gids
 
 
@@ -326,9 +342,8 @@ def _grid_knn_main(c32, valid, cid, pos, margin, ncand, sent,
         jnp.swapaxes(tab, 1, 2), ((0, 0), (0, 4), (0, 0)))  # (G+1, 8, m_cap)
 
     if _grid_resident_ok(gdim) and not streamed:
-        nbr = _neighbor_cells(gdim)                         # (G, 27)
         vals_c, gid_c = _grid_knn_cells_call(
-            cand_tab3.reshape((G + 1) * 8, m_cap), q_tab, nbr,
+            cand_tab3.reshape((G + 1) * 8, m_cap), q_tab,
             k=k, gdim=gdim, n=n, interpret=interpret)
     else:
         vals_c, gid_c = _grid_knn_cells_call_streamed(

@@ -39,13 +39,17 @@ _LANE = 128
 
 
 def _pick_ti(n: int) -> int:
-    """Row-band height: keep the (TI, n) f32 band + int32 iota + adj band
-    comfortably inside VMEM (~12 MB budget)."""
-    budget = 12 * 1024 * 1024
-    for ti in (512, 256, 128):
-        if n % ti == 0 and ti * n * 4 * 3 <= budget:
-            return ti
-    return _LANE  # n is always a multiple of _LANE
+    """Row-band height. Short bands WIN on-chip: at n=1024/k=8 (v5e,
+    benchmarks/ab_ti.py, round 4) ti=128 measures 24.0 us bare / 24.4 us
+    under the flagship's mask+adjacency bands vs 40.6/53.1 us for the old
+    512-row default and 47/53 us for a single 1024-row program — taller
+    bands were never faster at any measured n (n>=4096 already used 128
+    via the VMEM budget). Selection results are bit-identical across ti
+    (pinned by tests and the ab_ti index gate); VMEM trivially fits
+    ((128, n) f32 band + iota + adj band = 1.5 kB * n <= 12 MB bound that
+    supports_pallas_knn_shapes already enforces at n <= 16384)."""
+    del n  # padded to a _LANE multiple by every caller
+    return _LANE
 
 
 def supports_pallas_knn_shapes(n: int) -> bool:

@@ -51,14 +51,22 @@ from .knn_layer import _dsilu, _fourier, _d_fourier
 
 _LANE = 128
 _SUB = 8
-# VMEM budget for live (R, h)-scale tensors in the backward (recompute +
-# grads). Rough model: ~10 live (R, max(h, 4m, d)) f32 planes.
+# VMEM budget for live (R, h)-scale tensors per kernel invocation. The
+# scoped-vmem hard limit is 16 MB; leave headroom for Mosaic's own copies.
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Live (R, width) f32 planes, measured against Mosaic's actual stack
+# allocation: the forward holds the _tile_forward intermediates (~12
+# planes); the backward holds those PLUS the d_* mirror set (~24 planes —
+# the old 10-plane model under-counted ~2.6x and OOM'd scoped vmem on-chip
+# at n=16384 with kc=24 wide candidates).
+_FWD_PLANES = 12
+_BWD_PLANES = 24
 
 
-def _pick_ti(n_pad: int, k: int, h: int, m: int, d: int, c: int) -> int:
+def _pick_ti(n_pad: int, k: int, h: int, m: int, d: int, c: int,
+             planes: int = _BWD_PLANES) -> int:
     width = max(h, 4 * m, d, 2 * c)
-    per_row = 10 * width * 4
+    per_row = planes * width * 4
     ti = _LANE
     while ti > _SUB and (n_pad % ti or ti * k * per_row > _VMEM_BUDGET):
         ti //= 2
@@ -360,7 +368,7 @@ def _fwd_call(coors, cj, fj, proj_i, pv, weights, *, fourier, soft_edges,
     ci_p, cj_p, fj_p, pi_p, pv_p, n_pad, pd = _prep_arrays(
         coors, cj, fj, proj_i, pv)
     w2d = _weights_2d(*weights)
-    ti = _pick_ti(n_pad, k, h, m, d, c)
+    ti = _pick_ti(n_pad, k, h, m, d, c, planes=_FWD_PLANES)
     opts = dict(fourier=fourier, soft_edges=soft_edges, norm_coors=norm_coors,
                 clamp=clamp, eps=eps, mxu_bf16=mxu_bf16,
                 gate_feats_only=gate_feats_only)

@@ -95,8 +95,12 @@ def test_segment_sum_kernel_on_chip():
         pytest.skip("shape outside kernel support")
     got = jax.jit(lambda: segment_sum_pallas(data, seg, N))()
     ref = jax.jit(lambda: jax.ops.segment_sum(data, seg, N))()
+    # The kernel's hi+lo bf16 split carries ~|sum|*2^-16-scale rounding
+    # (measured on-chip: 4.5e-5 max abs vs f64 at this size, ref absmax
+    # ~12; XLA scatter 1.5e-6). Tolerance sits at the scheme's documented
+    # accuracy, not at exactness — see ops/pallas/segment.py docstring.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-6, atol=1e-5)
+                               rtol=1e-5, atol=2e-4)
 
 
 def test_graph_builder_kernel_on_chip():
@@ -126,12 +130,21 @@ ATOL = 3e-2
 
 
 def _equivariance(apply_fn, feats, coors, *args, **kwargs):
-    R = rot(0.3, 0.7, 1.1).astype(jnp.float32)
-    T = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
+    # Rotations are applied in f64 ON HOST: an on-device `coors @ R` runs
+    # as a bf16 MXU pass and injects ~|coors|*4e-3 error into the INPUT
+    # (measured 0.041 at scale-3 clouds — larger than the 3e-2 tolerance
+    # this harness is supposed to enforce on the layer itself).
+    R = np.asarray(rot(0.3, 0.7, 1.1), np.float64)
+    T = np.asarray([1.0, -2.0, 0.5], np.float64)
+
+    def rot64(c):
+        return jnp.asarray(
+            (np.asarray(c, np.float64) @ R + T).astype(np.float32))
+
     f1, c1 = apply_fn(feats, coors, *args, **kwargs)
-    f2, c2 = apply_fn(feats, coors @ R + T, *args, **kwargs)
+    f2, c2 = apply_fn(feats, rot64(coors), *args, **kwargs)
     return (float(jnp.abs(f2 - f1).max()),
-            float(jnp.abs(c2 - (c1 @ R + T)).max()),
+            float(jnp.abs(c2 - rot64(c1)).max()),
             float(jnp.abs(c1).max()))
 
 
