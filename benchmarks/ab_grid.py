@@ -87,23 +87,37 @@ def net_arm(name, n, backend=None, lo=5, hi=20):
     return s
 
 
+def _try(fn, *a, **kw):
+    """One failed arm must not kill the session's remaining measurements
+    (the jnp-grid arm OOMs HBM at n>=16384: its (n, 27*m_cap, 3) candidate
+    tensor pads 3 lanes -> 128 on TPU, 21.7 GB)."""
+    try:
+        return fn(*a, **kw)
+    except Exception as e:
+        name, n = a[0], a[1]
+        print(f"n={n:6d} {name:12s}: FAILED ({type(e).__name__}: "
+              f"{str(e)[:120]})", flush=True)
+        return None
+
+
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [4096, 16384]
     print(f"backend: {jax.default_backend()}")
     for n in sizes:
         lo, hi = (2, 8) if n > 16384 else (5, 20)
         if supports_grid_knn(n, K):
-            sel_arm("grid_kernel", n,
-                    lambda c: grid_knn_select_pallas(c, K)[:2], lo=lo, hi=hi)
-            sel_arm("grid_streamed", n,
-                    lambda c: grid_knn_select_pallas(c, K, streamed=True)[:2],
-                    lo=lo, hi=hi)
-        sel_arm("grid_jnp", n, lambda c: grid_knn_select(c, K)[:2],
-                lo=lo, hi=hi)
-        sel_arm("exact(auto)", n,
-                lambda c: nb.knn_select(c, K, float("inf"))[:2], lo=lo, hi=hi)
-        net_arm("auto", n, lo=lo, hi=hi)
-        net_arm("grid", n, backend="grid", lo=lo, hi=hi)
+            _try(sel_arm, "grid_kernel", n,
+                 lambda c: grid_knn_select_pallas(c, K)[:2], lo=lo, hi=hi)
+            _try(sel_arm, "grid_streamed", n,
+                 lambda c: grid_knn_select_pallas(c, K, streamed=True)[:2],
+                 lo=lo, hi=hi)
+        if n < 16384:  # (n, 27*m_cap, 3) lane padding OOMs beyond
+            _try(sel_arm, "grid_jnp", n, lambda c: grid_knn_select(c, K)[:2],
+                 lo=lo, hi=hi)
+        _try(sel_arm, "exact(auto)", n,
+             lambda c: nb.knn_select(c, K, float("inf"))[:2], lo=lo, hi=hi)
+        _try(net_arm, "auto", n, lo=lo, hi=hi)
+        _try(net_arm, "grid", n, backend="grid", lo=lo, hi=hi)
 
 
 if __name__ == "__main__":

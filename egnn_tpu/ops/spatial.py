@@ -147,15 +147,21 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
       pairs the grid's candidate tables exclude — the grid result would
       silently diverge without this component.
     """
-    # lex (val, gid) re-sort == lax.top_k's global tie order (a stable
-    # double argsort; boundary ties are certificate-rejected, so the
-    # selected SET is unique and the re-sort makes the ORDER exact)
-    o1 = jnp.argsort(gid, axis=1, stable=True)
-    v1 = jnp.take_along_axis(vals, o1, axis=1)
-    o2 = jnp.argsort(v1, axis=1, stable=True)
-    vals = jnp.take_along_axis(v1, o2, axis=1)
-    gid = jnp.take_along_axis(jnp.take_along_axis(gid, o1, axis=1),
-                              o2, axis=1)
+    # lex (val, gid) re-sort == lax.top_k's global tie order. The Pallas
+    # kernel (cnt_le=None) already EMITS rows in exact lex order — its
+    # extraction rounds take the (distance, gid) minimum of the remaining
+    # band, so the output is ascending by construction and the re-sort
+    # would be an identity permutation costing real time: take_along_axis
+    # on the minor axis is a lane-crossing gather, ~2 ms per call at
+    # (16384, 16) on v5e — three of them made the finalize tail 11.4 ms,
+    # swallowing the kernel's entire 3.3x win (round-4 breakdown). The jnp
+    # path still needs the re-sort (its top_k returns band-slot tie
+    # order); a two-key lax.sort is a vectorized sort network over the
+    # 16-lane minor axis — no gathers.
+    gid = gid.astype(jnp.int32)
+    if cnt_le is not None:
+        vals, gid = jax.lax.sort((vals, gid), dimension=1, num_keys=2,
+                                 is_stable=True)
 
     vkth = vals[:, k - 1]
     row_ok = (
