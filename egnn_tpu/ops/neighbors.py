@@ -135,11 +135,15 @@ CANDIDATE_SLACK = 4
 _PACKED_FALLBACK = True
 
 # Route backend="auto" through the grid-blocked selection kernel
-# (ops/pallas/grid_knn.py) for supported shapes. Flip to True ONLY on a
-# measured layer-level win (benchmarks/ab_grid.py discipline) — the
-# certificate's lax.cond fallback makes it exact either way, but auto
-# must also be the fastest path.
-GRID_AUTO = False
+# (ops/pallas/grid_knn.py) for supported shapes. Flipped True in round 4
+# on the measured network-level win (benchmarks/ab_grid.py, v5e, after the
+# finalize-tail fixes): depth-3 fwd+bwd n=16384 k=16 20.2 vs 33.9 ms
+# (38.9 vs 23.2 M edges/s); n=65536 121.7 vs 390.1 ms (25.8 vs 8.1 M).
+# Selection-only: 3.0 vs 7.6 ms at 16k, 14.4 vs 94.2 ms at 65k — certified
+# AND bit-exact vs the exact kernels on uniform clouds; the certificate's
+# lax.cond fallback keeps non-certifying data (clustered, needle boxes,
+# ties at the boundary) exact through the quadratic kernels.
+GRID_AUTO = True
 
 # MEASURED OUTCOME (v5e, n=16384, k=16, the flagship large-n regime): the
 # packed candidate kernel alone is ~1.6x faster than the exact full-band
@@ -435,9 +439,20 @@ def knn_select_gather(
         ).astype(jnp.int32)
         return -neg, idx
 
+    # Inside the certificate's lax.cond, XLA places the branch OUTPUTS in
+    # VMEM on top of the kernel's scoped allocation — at n=16384 the
+    # full-band kernel's band+iota is exactly 16 MB, so adding the
+    # (n, k) vals+idx blocks OOMs scoped vmem (hit on-chip, round 4). The
+    # fallback therefore needs output headroom beyond bare kernel support.
+    n_pad_fb = -(-n // 128) * 128
+    full_band_fb_ok = (
+        supports_pallas_knn_shapes(n)
+        and 128 * n_pad_fb * 8 + 2 * n_pad_fb * num_nearest * 4
+        <= 16 * 1024 * 1024
+    )
     grid_fb_packed = (
         on_tpu and adj_mat is None and kernel_ok and n >= 2 * kc
-        and not supports_pallas_knn_shapes(n)
+        and not full_band_fb_ok
         and supports_pallas_knn_packed_tiled(n, kc)
     )
 
@@ -458,6 +473,12 @@ def knn_select_gather(
         def _exact_fallback(_):
             if grid_fb_packed:
                 v, i = _packed_tiled_vals_idx()
+            elif use_pallas and not full_band_fb_ok:
+                # full-band kernel support without cond-output headroom
+                # (and packed-tiled unsupported): the j-tiled exact kernel
+                v, i = knn_select_pallas_tiled(
+                    coors_sg, num_nearest, mask=mask, adj_mat=adj_mat,
+                    interpret=interpret)
             else:
                 v, i = _exact_selection()
             return v.astype(jnp.float32), i.astype(jnp.int32)
