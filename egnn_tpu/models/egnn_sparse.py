@@ -253,16 +253,27 @@ class EGNNSparse(nn.Module):
         # that through the Pallas segment-sum).
         if uk is not None:
             # receiver-major uniform degree: row e belongs to receiver e//uk,
-            # so the i-side "gather" is a broadcast (transpose = reshape-sum)
-            xg_i = jnp.broadcast_to(
-                x[:, None, :], (n, uk, x.shape[-1])
-            ).reshape(n * uk, x.shape[-1])
+            # so the i-side "gather" is a NARROW positional broadcast per
+            # operand (transpose = reshape-sum over k). Measured round 4
+            # (benchmarks/ab_sparse_i.py): keep the i-side edge-MLP matmul
+            # PER-EDGE on these broadcast rows — projecting per-node and
+            # broadcasting the hidden-wide result is 1.6x SLOWER fwd+bwd
+            # (12.1 -> 19.7 us at E=8192, d=64, h=274): the wide (E, h)
+            # broadcast + its (n, k, h) reduction move ~4x the bytes of the
+            # narrow (E, d) broadcast, while the extra matmul FLOPs ride
+            # free on the MXU.
+            coors_i_e = jnp.broadcast_to(
+                coors[:, None, :], (n, uk, self.pos_dim)
+            ).reshape(n * uk, self.pos_dim)
+            feats_i_e = jnp.broadcast_to(
+                feats[:, None, :], (n, uk, d)
+            ).reshape(n * uk, d)
         else:
             xg_i = gather_rows(x, i_idx)      # (E, pos+feats)
+            coors_i_e = xg_i[:, : self.pos_dim]
+            feats_i_e = xg_i[:, self.pos_dim :]
         xg_j = gather_rows(x_full, j_idx)
-        coors_i_e = xg_i[:, : self.pos_dim]
         coors_j_e = xg_j[:, : self.pos_dim]
-        feats_i_e = xg_i[:, self.pos_dim :]
         feats_j_e = xg_j[:, self.pos_dim :]
         rel_coors = coors_j_e - coors_i_e
         rel_dist = jnp.sum(rel_coors**2, axis=-1, keepdims=True)
@@ -290,7 +301,8 @@ class EGNNSparse(nn.Module):
             if self.compute_dtype is not None
             else (lambda v: v)
         )
-        h1 = mp(feats_i_e) @ mp(w_i) + mp(feats_j_e) @ mp(w_j)             + mp(dist_feats) @ mp(w_d) + mp(edge_b1)
+        h1 = mp(feats_i_e) @ mp(w_i) + mp(feats_j_e) @ mp(w_j) \
+            + mp(dist_feats) @ mp(w_d) + mp(edge_b1)
         if self.edge_attr_dim > 0:
             assert edge_attr is not None, (
                 f"layer built with edge_attr_dim={self.edge_attr_dim} but no edge_attr given"
