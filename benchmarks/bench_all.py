@@ -122,6 +122,9 @@ def config5_sparse_molecules():
         ("_uniformk", dict(uniform_degree=K)),
         ("_uniformk_bf16",
          dict(uniform_degree=K, compute_dtype=jnp.bfloat16)),
+        ("_uniformk_bf16_ugs",
+         dict(uniform_degree=K, compute_dtype=jnp.bfloat16,
+              uniform_graph_size=NA)),
         ("_uniformk_fused", dict(uniform_degree=K, fused_uniform=True)),
     ):
         net = EGNNSparseNetwork(**common, **extra)

@@ -134,6 +134,11 @@ if want("net"):
                             embedding_dims=[DIM], fourier_features=FOUR,
                             norm_feats=True, norm_coors=True,
                             uniform_degree=K, compute_dtype=jnp.bfloat16)
+    net_u = EGNNSparseNetwork(n_layers=LAYERS, feats_dim=1, embedding_nums=[5],
+                              embedding_dims=[DIM], fourier_features=FOUR,
+                              norm_feats=True, norm_coors=True,
+                              uniform_degree=K, compute_dtype=jnp.bfloat16,
+                              uniform_graph_size=NA)
     params = net.init(key, x, ei, batch=batch, edge_mask=em, num_graphs=G)["params"]
     def loss(xx):
         o = net.apply({"params": params}, xx, ei, batch=batch, edge_mask=em,
@@ -144,3 +149,19 @@ if want("net"):
         return g.sum() * 1e-6 + l
     s = meas("net fwd+bwd", fb, x)
     print(f"anchor5 edges/s: {N * K * LAYERS / s / 1e6:.1f} M", flush=True)
+
+    def loss_u(xx):
+        o = net_u.apply({"params": params}, xx, ei, batch=batch, edge_mask=em,
+                        num_graphs=G)
+        return (o[:, 3:] ** 2).mean()
+    def fb_u(xx):
+        l, g = jax.value_and_grad(loss_u)(xx)
+        return g.sum() * 1e-6 + l
+    su = meas("net fwd+bwd (ugs)", fb_u, x)
+    print(f"anchor5 edges/s (ugs): {N * K * LAYERS / su / 1e6:.1f} M",
+          flush=True)
+
+    import numpy as np
+    a = jax.jit(fb)(x)
+    b = jax.jit(fb_u)(x)
+    print(f"parity |a-b| = {abs(float(a) - float(b)):.2e}", flush=True)

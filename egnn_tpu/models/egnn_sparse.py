@@ -41,7 +41,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.core import embed_tokens, fourier_encode_dist, gather_rows, layer_norm, coors_norm
+from ..ops.core import (embed_tokens, fourier_encode_dist, gather_rows,
+                        gather_rows_blocked, layer_norm, coors_norm)
 from ..ops.segment import (graph_layer_norm, segment_aggregate,
                            segment_softmax, segment_sum, uniform_aggregate)
 from . import init as inits
@@ -98,6 +99,19 @@ class EGNNSparse(nn.Module):
     # run the XLA-default bf16-operand MXU scheme with f32 accumulation,
     # geometry stays f32.
     fused_uniform: Optional[bool] = None
+    # uniform_graph_size: static per-graph node count of a CONTIGUOUS
+    # ``batch`` layout (node rows [g*s, (g+1)*s) belong to graph g BY
+    # POSITION — what every batched builder here emits, and what PyG
+    # batching produces for equal-size graphs). When set together with
+    # uniform_degree, two index-bound op classes leave the layer:
+    # (a) the sender row gather becomes a block-local one-hot matmul on
+    #     the MXU (ops/core.py:gather_rows_blocked — graphs never share
+    #     edges, so senders are block-local by construction), and
+    # (b) graph-LayerNorm statistics reduce by reshape instead of
+    #     segment-scatter + per-node gathers (ops/segment.py).
+    # Measured v5e, anchor-5 shapes: gather 46.5 us and LayerNorm 69.0 us
+    # fwd+bwd per layer on the general paths. Ignored under shard_axis.
+    uniform_graph_size: Optional[int] = None
     # mesh axis name for the
     # edge-partitioned multi-device layout (parallel/sparse_partition.py).
     # When set, this layer must run inside shard_map with nodes sharded on
@@ -177,6 +191,20 @@ class EGNNSparse(nn.Module):
         else:
             x_full = x
 
+        # block-local gather under the uniform-graph-size contract (see the
+        # uniform_graph_size field note); needs the receiver-major uniform
+        # edge layout so edge rows group per graph by position
+        ugs = self.uniform_graph_size if self.shard_axis is None else None
+        if ugs is not None:
+            assert n % ugs == 0, (
+                f"uniform_graph_size={ugs} must divide the node count {n}"
+            )
+
+        def gather_j(vals, idx):
+            if ugs is not None and uk is not None:
+                return gather_rows_blocked(vals, idx, n // ugs, ugs)
+            return gather_rows(vals, idx)
+
         # ---- fused uniform-degree pair pipeline (ops/pallas/pair_messages) ----
         # The uniform receiver-major layout IS the dense path's pre-gathered
         # i-major pair layout (row e belongs to receiver e//uk), so the whole
@@ -203,7 +231,7 @@ class EGNNSparse(nn.Module):
                     backend="tpu" if self.fused_uniform else None)
             )
         if use_fused:
-            xg_j = gather_rows(x_full, j_idx)          # (E, pos+feats)
+            xg_j = gather_j(x_full, j_idx)          # (E, pos+feats)
             cj = xg_j[None, :, : self.pos_dim]
             fj = xg_j[None, :, self.pos_dim:]
             proj_i = (feats @ edge_w1[:d] + edge_b1)[None]    # (1, N, hidden)
@@ -272,7 +300,7 @@ class EGNNSparse(nn.Module):
             xg_i = gather_rows(x, i_idx)      # (E, pos+feats)
             coors_i_e = xg_i[:, : self.pos_dim]
             feats_i_e = xg_i[:, self.pos_dim :]
-        xg_j = gather_rows(x_full, j_idx)
+        xg_j = gather_j(x_full, j_idx)
         coors_j_e = xg_j[:, : self.pos_dim]
         feats_j_e = xg_j[:, self.pos_dim :]
         rel_coors = coors_j_e - coors_i_e
@@ -369,6 +397,9 @@ class EGNNSparse(nn.Module):
             hidden_feats = graph_layer_norm(
                 feats, batch, num_graphs, nn_gamma, nn_beta,
                 node_mask=node_mask, axis_name=self.shard_axis,
+                uniform_size=(
+                    self.uniform_graph_size if self.shard_axis is None
+                    else None),
             )
         else:
             hidden_feats = feats
@@ -574,6 +605,10 @@ class EGNNSparseNetwork(nn.Module):
     # on-chip A/B, matching the EGNNSparse field docstring).
     compute_dtype: Any = None
     fused_uniform: Optional[bool] = None
+    # Static per-graph node count of a contiguous batch layout (see
+    # EGNNSparse.uniform_graph_size): block-local MXU gathers + reshape
+    # LayerNorm statistics for equal-size batched graphs.
+    uniform_graph_size: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -671,6 +706,7 @@ class EGNNSparseNetwork(nn.Module):
                 uniform_degree=self.uniform_degree,
                 compute_dtype=self.compute_dtype,
                 fused_uniform=self.fused_uniform,
+                uniform_graph_size=self.uniform_graph_size,
                 name=f"mpnn_{i}",
             )(
                 x,

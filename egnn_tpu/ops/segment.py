@@ -148,6 +148,7 @@ def graph_layer_norm(
     eps: float = 1e-5,
     node_mask: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    uniform_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """PyG-style graph-mode LayerNorm (torch_geometric.nn.norm.LayerNorm,
     mode='graph', used at egnn_pytorch_geometric.py:156): statistics over all
@@ -156,11 +157,45 @@ def graph_layer_norm(
     ``axis_name``: when the packed node set is sharded over a mesh axis
     (edge-partitioned sparse path, parallel/sparse_partition.py), per-graph
     statistics are psum'd over that axis so every shard normalizes with the
-    GLOBAL per-graph mean/variance."""
+    GLOBAL per-graph mean/variance.
+
+    ``uniform_size``: POSITIONAL contract — rows [g*s, (g+1)*s) all belong to
+    graph g (contiguous ``batch`` with equal graph sizes, the layout every
+    batched builder in this repo emits). Statistics then reduce by reshape
+    instead of segment-scatter + per-node index gathers, which measured
+    69.0 us fwd+bwd at (1024, 64)/32 graphs on v5e for the general path —
+    segment ops and (n,)-row gathers are index-bound, a (g, s*d) reshape
+    reduction is a plain vectorized sum. Same math, float reduction order
+    differs (tolerance-level). Ignored under ``axis_name`` (sharded stats
+    keep the segment path)."""
     n, d = x.shape
     if batch is None:
         batch = jnp.zeros((n,), dtype=jnp.int32)
         num_graphs = 1
+    if uniform_size is not None and axis_name is None:
+        s = uniform_size
+        assert n == num_graphs * s, (
+            f"uniform_size={s} needs n = num_graphs*s = {num_graphs * s}, got {n}"
+        )
+        xr = x.reshape(num_graphs, s * d)
+        if node_mask is not None:
+            mr = jnp.repeat(node_mask.reshape(num_graphs, s), d, axis=1)
+            cnt = jnp.clip(mr.sum(axis=1, dtype=x.dtype), min=1.0)[:, None]
+            xm = jnp.where(mr, xr, jnp.zeros((), x.dtype))
+        else:
+            cnt = jnp.asarray(s * d, x.dtype)
+            xm = xr
+        mean = xm.sum(axis=1, keepdims=True) / cnt
+        centered = xr - mean
+        if node_mask is not None:
+            centered = jnp.where(mr, centered, jnp.zeros((), x.dtype))
+        var = (centered ** 2).sum(axis=1, keepdims=True) / cnt
+        out = ((xr - mean) * jax.lax.rsqrt(var + eps)).reshape(n, d)
+        if gamma is not None:
+            out = out * gamma
+        if beta is not None:
+            out = out + beta
+        return out
     psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else (lambda v: v)
     count = psum(segment_count(batch, num_graphs, node_mask, dtype=x.dtype)) * d
     count = jnp.clip(count, min=1.0)

@@ -142,6 +142,10 @@ def main():
                 # kNN batches are receiver-major with exactly K slots per
                 # node -> scatter-free aggregation (1.5x fwd+bwd on v5e)
                 uniform_degree=K,
+                # equal-size padded molecules in a contiguous batch ->
+                # block-local MXU gathers + reshape LayerNorm stats
+                # (2.5x network fwd+bwd on v5e, benchmarks/breakdown_anchor5)
+                uniform_graph_size=NA,
             )
             out = trunk(
                 x, edge_index,

@@ -369,3 +369,115 @@ def test_sparse_higher_dimension_coords():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(out2[:, :c]),
                                np.asarray(out[:, :c] @ q + T), atol=1e-9)
+
+
+def _batched_uniform_setup(seed=0, G=4, NA=16, K=4, D=8, partial_masks=True):
+    """Equal-size batched molecules with kNN edges: the uniform_graph_size
+    layout (contiguous batch, receiver-major uniform-degree edges)."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    N = G * NA
+    coors = 2.0 * jax.random.normal(ks[0], (G, NA, 3))
+    feats = jax.random.normal(ks[1], (N, D))
+    if partial_masks:
+        node_mask = jnp.arange(NA)[None, :] < jnp.asarray([NA, NA - 3, NA - 1, NA])[:, None]
+    else:
+        node_mask = jnp.ones((G, NA), bool)
+    es = jax.vmap(lambda co, m: knn_graph(co, K, node_mask=m))(coors, node_mask)
+    off = (jnp.arange(G, dtype=jnp.int32) * NA)[:, None]
+    ei = jnp.stack([(es.senders + off).reshape(-1), (es.receivers + off).reshape(-1)])
+    em = es.mask.reshape(-1)
+    batch = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
+    x = jnp.concatenate([coors.reshape(N, 3), feats], -1)
+    return x, ei, em, batch, node_mask.reshape(-1), G, NA, K, D
+
+
+def test_gather_rows_blocked_matches_gather():
+    from egnn_tpu.ops.core import gather_rows_blocked
+
+    key = jax.random.PRNGKey(3)
+    G, R, C, EB = 5, 8, 7, 13
+    vals = jax.random.normal(key, (G * R, C))
+    local = jax.random.randint(jax.random.PRNGKey(4), (G, EB), 0, R)
+    idx = (local + jnp.arange(G)[:, None] * R).reshape(-1).astype(jnp.int32)
+    out = jax.jit(lambda v: gather_rows_blocked(v, idx, G, R))(vals)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(vals[idx]))
+
+    # out-of-block indices gather zeros (documented padding behavior)
+    idx_bad = idx.at[0].set(jnp.int32(G * R - 1))  # row 0 is block 0
+    out_bad = jax.jit(lambda v: gather_rows_blocked(v, idx_bad, G, R))(vals)
+    assert np.all(np.asarray(out_bad[0]) == 0.0)
+    np.testing.assert_array_equal(np.asarray(out_bad[1:]), np.asarray(out[1:]))
+
+    # gradient matches the plain-gather gradient (scatter-add transpose)
+    g1 = jax.grad(lambda v: (gather_rows_blocked(v, idx, G, R) ** 3).sum())(vals)
+    g2 = jax.grad(lambda v: (v[idx] ** 3).sum())(vals)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_graph_layer_norm_uniform_matches_general():
+    from egnn_tpu.ops.segment import graph_layer_norm
+
+    key = jax.random.PRNGKey(5)
+    G, NA, D = 4, 16, 8
+    x = jax.random.normal(key, (G * NA, D)) * 3.0 + 1.0
+    batch = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
+    gamma = jax.random.normal(jax.random.PRNGKey(6), (D,)) + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(7), (D,))
+    node_mask = jnp.arange(NA)[None, :].repeat(G, 0).reshape(-1) < (NA - 2)
+    for nm in (None, node_mask):
+        a = graph_layer_norm(x, batch, G, gamma, beta, node_mask=nm)
+        b = graph_layer_norm(x, batch, G, gamma, beta, node_mask=nm,
+                             uniform_size=NA)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("partial_masks", [False, True])
+def test_uniform_graph_size_matches_general_path(partial_masks):
+    """The uniform_graph_size fast path (block-local MXU gather + reshape
+    LayerNorm stats) is a pure layout specialization: outputs must match the
+    general segment path on the same inputs."""
+    x, ei, em, batch, nm, G, NA, K, D = _batched_uniform_setup(
+        seed=1, partial_masks=partial_masks)
+    kw = dict(feats_dim=D, fourier_features=2, norm_feats=True,
+              norm_coors=True, soft_edge=1, uniform_degree=K)
+    lay_g = EGNNSparse(**kw)
+    lay_u = EGNNSparse(**kw, uniform_graph_size=NA)
+    ap_g = jax.jit(lambda p, v: lay_g.apply(p, v, ei, batch=batch,
+                                            edge_mask=em, num_graphs=G,
+                                            node_mask=nm))
+    ap_u = jax.jit(lambda p, v: lay_u.apply(p, v, ei, batch=batch,
+                                            edge_mask=em, num_graphs=G,
+                                            node_mask=nm))
+    params = lay_g.init(jax.random.PRNGKey(9), x, ei, batch=batch,
+                        edge_mask=em, num_graphs=G, node_mask=nm)
+    a = ap_g(params, x)
+    b = ap_u(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # gradients agree too (the blocked gather's einsum transpose vs scatter)
+    ga = jax.grad(lambda v: (ap_g(params, v)[:, 3:] ** 2).mean())(x)
+    gb = jax.grad(lambda v: (ap_u(params, v)[:, 3:] ** 2).mean())(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+
+def test_uniform_graph_size_network_equivariance():
+    x, ei, em, batch, nm, G, NA, K, D = _batched_uniform_setup(seed=2)
+    net = EGNNSparseNetwork(n_layers=2, feats_dim=D, fourier_features=2,
+                            norm_feats=True, norm_coors=True,
+                            uniform_degree=K, uniform_graph_size=NA)
+    params = net.init(jax.random.PRNGKey(11), x, ei, batch=batch,
+                      edge_mask=em, num_graphs=G, node_mask=nm)
+    apply = jax.jit(lambda p, v: net.apply(p, v, ei, batch=batch,
+                                           edge_mask=em, num_graphs=G,
+                                           node_mask=nm))
+    R = rot(0.3, 0.7, 1.1)
+    T = jnp.asarray([[0.5, -1.0, 2.0]])
+    x2 = jnp.concatenate([_apply_action(x[:, :3], R, T), x[:, 3:]], -1)
+    o1 = apply(params, x)
+    o2 = apply(params, x2)
+    np.testing.assert_allclose(np.asarray(o1[:, 3:]), np.asarray(o2[:, 3:]),
+                               atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(_apply_action(o1[:, :3], R, T)), np.asarray(o2[:, :3]),
+        atol=ATOL)

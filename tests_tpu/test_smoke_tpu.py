@@ -366,3 +366,57 @@ def test_grid_knn_streamed_kernel_on_chip():
     ref = jax.jit(
         lambda c: nb.knn_select(c, k, float("inf"), backend="pallas"))(coors)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
+
+
+def test_gather_rows_blocked_exact_on_chip():
+    """The block-local one-hot MXU gather (ops/core.py:gather_rows_blocked)
+    must be BIT-exact on real hardware: Precision.HIGHEST keeps the f32
+    values intact through the MXU (one nonzero term per output row). The
+    bf16-operand default pass would round gathered values — this test
+    catches any precision regression."""
+    from egnn_tpu.ops.core import gather_rows_blocked
+
+    G, R, C, EB = 32, 32, 67, 256
+    vals = jax.random.normal(jax.random.PRNGKey(0), (G * R, C), jnp.float32)
+    # adversarial values: tiny/huge magnitudes that bf16 would mangle
+    vals = vals * (10.0 ** jnp.arange(-8, 8)[
+        jnp.arange(G * R) % 16][:, None].astype(jnp.float32))
+    local = jax.random.randint(jax.random.PRNGKey(1), (G, EB), 0, R)
+    idx = (local + jnp.arange(G)[:, None] * R).reshape(-1).astype(jnp.int32)
+    out = jax.jit(lambda v: gather_rows_blocked(v, idx, G, R))(vals)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(vals)[np.asarray(idx)])
+
+
+def test_sparse_uniform_graph_size_parity_on_chip():
+    """uniform_graph_size fast path (blocked MXU gather + reshape LayerNorm
+    stats) vs the general segment path, on-chip, bf16 message arm — the
+    anchor-5 bench configuration."""
+    from egnn_tpu.models.egnn_sparse import EGNNSparseNetwork
+    from egnn_tpu.ops.graph import knn_graph
+
+    G, NA, K, DIM = 8, 32, 8, 64
+    N = G * NA
+    key = jax.random.PRNGKey(0)
+    coors = 2.0 * jax.random.normal(key, (G, NA, 3), jnp.float32)
+    types = jax.random.randint(jax.random.PRNGKey(1), (N, 1), 0, 5)
+    nmask = jnp.ones((G, NA), bool)
+    es = jax.vmap(lambda co, m: knn_graph(co, K, node_mask=m))(coors, nmask)
+    off = (jnp.arange(G, dtype=jnp.int32) * NA)[:, None]
+    ei = jnp.stack([(es.senders + off).reshape(-1),
+                    (es.receivers + off).reshape(-1)])
+    em = es.mask.reshape(-1)
+    batch = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
+    x = jnp.concatenate([coors.reshape(N, 3), types.astype(jnp.float32)], -1)
+    common = dict(n_layers=2, feats_dim=1, embedding_nums=[5],
+                  embedding_dims=[DIM], fourier_features=4, norm_feats=True,
+                  norm_coors=True, uniform_degree=K,
+                  compute_dtype=jnp.bfloat16)
+    net_g = EGNNSparseNetwork(**common)
+    net_u = EGNNSparseNetwork(**common, uniform_graph_size=NA)
+    params = net_g.init(key, x, ei, batch=batch, edge_mask=em, num_graphs=G)
+    a = jax.jit(lambda p, v: net_g.apply(p, v, ei, batch=batch, edge_mask=em,
+                                         num_graphs=G))(params, x)
+    b = jax.jit(lambda p, v: net_u.apply(p, v, ei, batch=batch, edge_mask=em,
+                                         num_graphs=G))(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=2e-2)
