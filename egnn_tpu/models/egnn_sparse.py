@@ -510,6 +510,9 @@ class GlobalLinearAttentionSparse(nn.Module):
     # the induced aggregation all psum over it, so the sharded result matches
     # the unsharded one (nodes_to_queries is purely local).
     axis_name: Optional[str] = None
+    # see EGNNSparse.uniform_graph_size — reshape LayerNorm statistics for
+    # contiguous equal-size batched graphs (ignored under axis_name)
+    uniform_graph_size: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -526,9 +529,11 @@ class GlobalLinearAttentionSparse(nn.Module):
         g_q = self.param("norm_queries_gamma", inits.ones_init, (d,))
         b_q = self.param("norm_queries_beta", inits.zeros_init, (d,))
 
+        ugs = self.uniform_graph_size if self.axis_name is None else None
         res_x, res_queries = x, queries
         xn = graph_layer_norm(x, batch, num_graphs, g_seq, b_seq,
-                              node_mask=node_mask, axis_name=self.axis_name)
+                              node_mask=node_mask, axis_name=self.axis_name,
+                              uniform_size=ugs)
         qn = layer_norm(queries, g_q, b_q)
 
         attn = AttentionSparse(d, self.heads, self.dim_head, name="attn1")
@@ -549,7 +554,8 @@ class GlobalLinearAttentionSparse(nn.Module):
         b2 = self.param("ff_b2", inits.torch_linear_bias_init(d * 4), (d,))
 
         x_norm = graph_layer_norm(x, batch, num_graphs, g_ff, b_ff,
-                                  node_mask=node_mask, axis_name=self.axis_name)
+                                  node_mask=node_mask, axis_name=self.axis_name,
+                                  uniform_size=ugs)
         x = jax.nn.gelu(x_norm @ w1 + b1, approximate=False) @ w2 + b2 + x_norm
         return x, queries
 
@@ -682,6 +688,7 @@ class EGNNSparseNetwork(nn.Module):
                     heads=self.global_linear_attn_heads,
                     dim_head=self.global_linear_attn_dim_head,
                     axis_name=self.shard_axis,
+                    uniform_graph_size=self.uniform_graph_size,
                     name=f"global_attn_{i}",
                 )(feats_part, global_tokens, batch_ids, num_graphs,
                   node_mask=node_mask)

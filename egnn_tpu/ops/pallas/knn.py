@@ -36,6 +36,8 @@ _PAD_FILL = 3.0e37       # padded-j columns: must lose to every real ranking
 _EVICT_FILL = 3.4e38     # evicted slots between extraction rounds
 
 _LANE = 128
+# adjacency band dtype (i8 = 4x less HBM than i32; see _prep_knn_inputs)
+_ADJ_DTYPE = jnp.int8
 
 
 def _pick_ti(n: int) -> int:
@@ -91,9 +93,19 @@ def _prep_knn_inputs(coors, mask, adj_mat, has_mask, has_adj):
     else:
         mask_i32 = jnp.zeros((b, 1, n), jnp.int32)  # dummy, never read
     if has_adj:
-        adj_i32 = jnp.pad(adj_mat.astype(jnp.int32), ((0, 0), (0, pad), (0, pad)))
+        # int8, not int32: the adjacency band is the kernels' largest input
+        # ((b, n, n) — 4x less HBM traffic and footprint as i8; at n=16384
+        # the i32 band alone would be 1 GB). Mosaic on this toolchain loads
+        # i8 vectors fine as long as the COMPARE happens after an in-kernel
+        # i32 convert (vector compares on i8 are unsupported — CLAUDE.md
+        # gotcha), which the kernels do. Throughput-NEUTRAL at n=1024 and
+        # n=4096 (24.3 vs 24.8 / 490.6 vs 491.5 us — the band kernels are
+        # VPU-compute-bound, benchmarks/ab_adj_dtype.py); kept for the 4x
+        # smaller HBM footprint (the i32 band is 1 GB at n=16384).
+        adj_i32 = jnp.pad(adj_mat.astype(_ADJ_DTYPE),
+                          ((0, 0), (0, pad), (0, pad)))
     else:
-        adj_i32 = jnp.zeros((b, 8, _LANE), jnp.int32)  # dummy, never read
+        adj_i32 = jnp.zeros((b, 8, _LANE), _ADJ_DTYPE)  # dummy, never read
     return coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c
 
 
@@ -121,7 +133,7 @@ def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
         # then adjacent-and-not-self -> 0.
         row_g = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 0) + i0
         eye = row_g == col
-        at = adj_ref[0, :, :] > 0
+        at = adj_ref[0, :, :].astype(jnp.int32) > 0
         ranking = jnp.where(eye, -1.0, ranking)
         ranking = jnp.where(at & ~eye, 0.0, ranking)
     if n != n_real:
@@ -299,7 +311,7 @@ def _knn_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
     if has_adj:
         row_g = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0) + i0
         eye = row_g == (col + j0)
-        at = adj_ref[0, :, :] > 0
+        at = adj_ref[0, :, :].astype(jnp.int32) > 0
         ranking = jnp.where(eye, -1.0, ranking)
         ranking = jnp.where(at & ~eye, 0.0, ranking)
     ranking = jnp.where((col + j0) >= n_real, _PAD_FILL, ranking)
