@@ -39,7 +39,7 @@ def meas(name, loss):
     def fb(v):
         l, g = jax.value_and_grad(loss)(v)
         return g.sum() * 1e-6 + l
-    s = measure_op(jax.jit(fb), feats, reps_lo=200, reps_hi=800, reps_outer=3)
+    s = measure_op(jax.jit(fb), feats, reps_lo=300, reps_hi=1500, reps_outer=5)
     print(f"{name:10s} {s*1e6:8.1f} us", flush=True)
 
 
@@ -72,7 +72,8 @@ def jd_cat(f):
     return (jax.nn.silu(h1).astype(jnp.float32) ** 2).mean()
 
 
-meas("i_node", i_node)
-meas("i_edge", i_edge)
-meas("jd_sep", jd_sep)
-meas("jd_cat", jd_cat)
+import sys as _s
+_sel = set(_s.argv[1:])
+for nm, fn in (("i_node", i_node), ("i_edge", i_edge), ("jd_sep", jd_sep), ("jd_cat", jd_cat)):
+    if not _sel or nm in _sel:
+        meas(nm, fn)

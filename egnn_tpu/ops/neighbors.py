@@ -110,6 +110,7 @@ def knn_select(
     mask: Optional[jnp.ndarray] = None,
     adj_mat: Optional[jnp.ndarray] = None,
     backend: str = "auto",
+    interpret: bool = False,
 ) -> Neighborhood:
     """End-to-end neighbor selection from coordinates: pairwise squared
     distance -> ranking fills -> static-k selection (egnn_pytorch.py:232-260).
@@ -121,7 +122,7 @@ def knn_select(
     """
     nbhd, _ = knn_select_gather(
         coors, num_nearest, valid_radius, mask=mask, adj_mat=adj_mat,
-        backend=backend,
+        backend=backend, interpret=interpret,
     )
     return nbhd
 
@@ -458,14 +459,17 @@ def knn_select_gather(
 
     if use_grid:
         from .pallas.grid_knn import grid_knn_select_pallas, supports_grid_knn
+        from .pallas.knn import (knn_select_queries_pallas,
+                                 supports_pallas_knn_queries)
         from .spatial import grid_knn_select
 
         if supports_grid_knn(n, k, backend="tpu" if (on_tpu or interpret)
                              else None):
-            gvals, gidx, gok = grid_knn_select_pallas(
+            gvals, gidx, gok, grow_exact = grid_knn_select_pallas(
                 coors_sg, k, mask=mask, interpret=interpret)
         else:
-            gvals, gidx, gok = grid_knn_select(coors_sg, k, mask=mask)
+            gvals, gidx, gok, grow_exact = grid_knn_select(
+                coors_sg, k, mask=mask)
 
         def _take_grid(_):
             return gvals, gidx
@@ -483,7 +487,51 @@ def knn_select_gather(
                 v, i = _exact_selection()
             return v.astype(jnp.float32), i.astype(jnp.int32)
 
-        vals, indices = jax.lax.cond(gok, _take_grid, _exact_fallback, None)
+        # ---- bucketed per-row repair -----------------------------------
+        # Equal-mass binning makes HETEROGENEOUS cells (ops/spatial.py):
+        # realistic clustered clouds certify all but a boundary sliver of
+        # rows (3.3% on a 16k Gaussian — a wide tail cell next to a narrow
+        # core cell gives d_k > margin). A whole-call fallback would pay
+        # the full O(n^2) exact kernel for that sliver; instead recompute
+        # ONLY the failing rows, padded to a static bucket R, with the
+        # asymmetric query-vs-points kernel (O(R*n), bitwise the exact
+        # kernel's rows — so the bucket may pad with already-certified
+        # rows, whose overwrite is a no-op). Falls back whole-call when
+        # failures exceed the bucket (incl. overflow/early-exit, where
+        # row_exact is all-False by construction).
+        R = min(n, max(128, n // 8))  # 128 = one lane tile
+        can_repair = (
+            (on_tpu or interpret)
+            and supports_pallas_knn_queries(n)
+        )
+        if can_repair:
+            bad = ~grow_exact                                   # (b, n)
+            repairable = jnp.all(bad.sum(axis=1) <= R)
+
+            def _repair(_):
+                _, fidx = jax.lax.top_k(bad.astype(jnp.float32), R)  # (b, R)
+                q = jnp.take_along_axis(
+                    coors_sg.astype(jnp.float32), fidx[..., None], axis=1)
+                qm = (jnp.take_along_axis(mask, fidx, axis=1)
+                      if mask is not None else None)
+                rv, ri = knn_select_queries_pallas(
+                    q, coors_sg, k, q_mask=qm, p_mask=mask,
+                    interpret=interpret)
+                vv = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                    gvals, fidx, rv)
+                ii = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                    gidx, fidx, ri)
+                return vv, ii
+
+            def _not_ok(_):
+                return jax.lax.cond(repairable, _repair, _exact_fallback,
+                                    None)
+
+            vals, indices = jax.lax.cond(gok, _take_grid, _not_ok, None)
+        else:
+            vals, indices = jax.lax.cond(gok, _take_grid, _exact_fallback,
+                                         None)
+
         vals = vals.astype(coors.dtype)
         valid = vals <= jnp.asarray(valid_radius, vals.dtype)
         nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)

@@ -22,13 +22,17 @@ shares the same 27 neighbor-cell candidate blocks:
   (measured ~1.5e-5/row on uniform 16k clouds — most calls at 65k) would
   have to be certificate-rejected; with it, no tie component is needed.
 
-Exactness is still certified per call (ops/spatial.py discipline):
-coverage margin (eps-shaved, strict), cell overflow, candidate count, and
-the masked-fill regime (vkth < 1e5 under a mask). Callers lax.cond to the
-exact kernels on failure. A cheap EARLY exit (overflow / candidate count,
-known before any table is built) skips the kernel entirely — clustered
-data (e.g. Gaussian clouds, whose core cells overflow any uniform grid)
-pays only the O(n) cell assignment, not a doomed kernel pass.
+Exactness is still certified per ROW (ops/spatial.py discipline):
+coverage margin (shaved, strict), cell overflow, candidate count, and
+the masked-fill regime (vkth < 1e5 under a mask). Binning is EQUAL-MASS
+per axis (ops/spatial.py:cell_assignment), so clustered clouds don't
+overflow; the rows that still fail (heterogeneous-cell margin boundaries,
+~3% on a 16k Gaussian) are recomputed by ops/neighbors.py's bucketed
+per-row repair (asymmetric query kernel, O(R*n)) instead of a whole-call
+exact fallback — which remains as the lax.cond backstop when failures
+exceed the bucket. A cheap EARLY exit (overflow / candidate count, known
+before any table is built) skips the kernel entirely when it cannot
+certify at all.
 
 Layout notes (Mosaic constraints, see CLAUDE.md gotchas):
 - candidate table: ((G+1)*8, m_cap) f32, row 8*c+cc = coordinate cc of
@@ -311,7 +315,8 @@ def _grid_knn_cells_call_streamed(cand_tab3, q_tab, *, k, gdim, n, interpret):
 def _grid_knn_main(c32, valid, cid, pos, margin, ncand, sent,
                    *, k, gdim, interpret, has_mask, streamed=False):
     """Tables + kernel + finalize for one batch element (early checks
-    already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok).
+    already passed). Returns (vals (n, k) f32, idx (n, k) int32, ok,
+    row_exact (n,)).
 
     ``sent`` (3,) f32: BOX-RELATIVE empty-slot sentinel coordinates,
     hi + 10*diag + 1 per axis. Any in-box point is then at least
@@ -372,9 +377,10 @@ def grid_knn_select_pallas(
     """Grid-blocked Pallas kNN selection with exactness certificate.
 
     Same contract as ops/spatial.grid_knn_select: returns (vals (b, n, k)
-    f32, idx (b, n, k) int32, ok scalar bool); on ok=False callers MUST
-    fall back to the exact kernels (ops/neighbors.py does this via
-    lax.cond). 3-D coordinates only. ``gdim`` overrides the occupancy
+    f32, idx (b, n, k) int32, ok scalar bool, row_exact (b, n) bool); on
+    ok=False callers MUST repair the ~row_exact rows (ops/neighbors.py's
+    bucketed per-row repair) or fall back to the exact kernels entirely
+    via lax.cond. 3-D coordinates only. ``gdim`` overrides the occupancy
     model's cell count (tests use small grids interpret-mode).
 
     Early exit: overflow / candidate-count failures are known from the
@@ -423,16 +429,17 @@ def grid_knn_select_pallas(
         has_mask=mask is not None, streamed=streamed)
 
     def _run(_):
-        vals, idx, ok = jax.vmap(main)(c32, valid, cid, pos, margin, ncand,
-                                       sent)
-        return vals, idx, jnp.all(ok)
+        vals, idx, ok, row_exact = jax.vmap(main)(c32, valid, cid, pos,
+                                                  margin, ncand, sent)
+        return vals, idx, jnp.all(ok), row_exact
 
     def _skip(_):
         return (
             jnp.zeros((b, n, k), jnp.float32),
             jnp.zeros((b, n, k), jnp.int32),
             jnp.asarray(False),
+            jnp.zeros((b, n), bool),
         )
 
-    vals, idx, ok = jax.lax.cond(early_ok, _run, _skip, None)
-    return vals, idx, ok
+    vals, idx, ok, row_exact = jax.lax.cond(early_ok, _run, _skip, None)
+    return vals, idx, ok, row_exact

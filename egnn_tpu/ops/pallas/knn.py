@@ -233,6 +233,142 @@ def knn_select_pallas(
 
 
 # ---------------------------------------------------------------------------
+# asymmetric query-vs-points variant: exact selection for a ROW SUBSET
+# ---------------------------------------------------------------------------
+
+
+def _pick_ti_queries(n_pad: int) -> int:
+    """Query-band height: the kernel runs inside a lax.cond branch (the
+    grid path's per-row repair), where XLA stacks the branch OUTPUTS on
+    top of the kernel's scoped VMEM (CLAUDE.md gotcha) — so cap the two
+    (ti, n) planes at ~9 MB instead of the full 16."""
+    ti = _LANE
+    while ti > 8 and 2 * ti * n_pad * 4 > 9 * 1024 * 1024:
+        ti //= 2
+    return ti
+
+
+def supports_pallas_knn_queries(n: int) -> bool:
+    n_pad = -(-n // _LANE) * _LANE
+    return 2 * 8 * n_pad * 4 <= 9 * 1024 * 1024
+
+
+def _knn_query_kernel(q_ref, qm_ref, coors_t_ref, mask_ref,
+                      out_vals_ref, out_idx_ref,
+                      *, n: int, n_real: int, k: int, c: int, ti: int,
+                      has_mask: bool):
+    i0 = pl.program_id(1) * ti
+    col = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 1)
+    ranking = jnp.zeros((ti, n), jnp.float32)
+    for cc in range(c):
+        xi_c = q_ref[0, pl.ds(i0, ti), cc].reshape(ti, 1)
+        xj_c = coors_t_ref[0, cc, :].reshape(1, n)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+    if has_mask:
+        mi = qm_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
+        mj = mask_ref[0, 0, :].reshape(1, n)
+        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
+    if n != n_real:
+        ranking = jnp.where(col >= n_real, _PAD_FILL, ranking)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(ranking, axis=1, keepdims=True)
+        pos = jnp.min(jnp.where(ranking == m, col, n), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(pos)
+        ranking = jnp.where(col == pos, _EVICT_FILL, ranking)
+    out_vals_ref[0, :, :] = jnp.concatenate(vals, axis=1)
+    out_idx_ref[0, :, :] = jnp.concatenate(idxs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "has_mask"))
+def _knn_query_call(queries, q_mask, points, p_mask, *, k, interpret,
+                    has_mask):
+    b, r_real, c = queries.shape
+    n_real = points.shape[1]
+    n = -(-n_real // _LANE) * _LANE
+    ti = _pick_ti_queries(n)
+    r = -(-r_real // ti) * ti
+    q32 = queries.astype(jnp.float32)
+    if r != r_real:
+        q32 = jnp.pad(q32, ((0, 0), (0, r - r_real), (0, 0)))
+    pts = points.astype(jnp.float32)
+    if n != n_real:
+        pts = jnp.pad(pts, ((0, 0), (0, n - n_real), (0, 0)))
+    coors_t = jnp.swapaxes(pts, 1, 2)
+    if has_mask:
+        qm = jnp.pad(q_mask.astype(jnp.int32),
+                     ((0, 0), (0, r - r_real)))[:, None, :]
+        pm = jnp.pad(p_mask.astype(jnp.int32),
+                     ((0, 0), (0, n - n_real)))[:, None, :]
+    else:
+        qm = jnp.zeros((b, 1, r), jnp.int32)
+        pm = jnp.zeros((b, 1, n), jnp.int32)
+    grid = (b, r // ti)
+    kernel = functools.partial(
+        _knn_query_kernel, n=n, n_real=n_real, k=k, c=c, ti=ti,
+        has_mask=has_mask)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, c), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, r, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q32, qm, coors_t, pm)
+    return vals[:, :r_real], idx[:, :r_real]
+
+
+def knn_select_queries_pallas(
+    queries: jnp.ndarray,                 # (b, R, c)
+    points: jnp.ndarray,                  # (b, n, c)
+    k: int,
+    q_mask: Optional[jnp.ndarray] = None,  # (b, R) query rows' own mask bits
+    p_mask: Optional[jnp.ndarray] = None,  # (b, n) point mask
+    interpret: bool = False,
+):
+    """Exact kNN of R QUERY rows against the full point set — the bucketed
+    per-row REPAIR engine for the grid path's certificate (certified rows
+    stay; the few that fail are recomputed here at O(R*n) instead of a
+    whole-call exact fallback at O(n^2)).
+
+    Semantics are exactly ``knn_select``'s no-adjacency ranking for those
+    rows (egnn_pytorch.py:237-268 fill rules): squared distance,
+    (q_mask_i & p_mask_j) failures filled at 1e5, ties by (value, column)
+    = jax.lax.top_k order. The arithmetic (per-axis f32 difference-square
+    accumulation, min/first-argmin/evict extraction) is the full-band
+    kernel's verbatim, so output rows are BITWISE what the exact kernel
+    would produce — overwriting an already-certified row with its repair
+    is a no-op, which lets the repair bucket pad with arbitrary rows.
+    """
+    has_mask = q_mask is not None
+    assert (p_mask is not None) == has_mask, "q_mask and p_mask come together"
+    if not has_mask:
+        q_mask = jnp.zeros(queries.shape[:2], jnp.int32)
+        p_mask = jnp.zeros(points.shape[:2], jnp.int32)
+    return _knn_query_call(queries, q_mask, points, p_mask, k=k,
+                           interpret=interpret, has_mask=has_mask)
+
+
+# ---------------------------------------------------------------------------
 # j-tiled variant: any-n selection with O(ti*tj) VMEM
 # ---------------------------------------------------------------------------
 #

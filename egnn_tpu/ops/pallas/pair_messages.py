@@ -56,11 +56,14 @@ _SUB = 8
 _VMEM_BUDGET = 10 * 1024 * 1024
 # Live (R, width) f32 planes, measured against Mosaic's actual stack
 # allocation: the forward holds the _tile_forward intermediates (~12
-# planes); the backward holds those PLUS the d_* mirror set (~24 planes —
-# the old 10-plane model under-counted ~2.6x and OOM'd scoped vmem on-chip
-# at n=16384 with kc=24 wide candidates).
+# planes); the backward holds those PLUS the d_* mirror set. Calibrated
+# against real scoped-vmem OOMs, not op counting: 10 planes under-counted
+# 2.6x (OOM at n=16384/kc=24), then 24 planes still under-counted 2.11x
+# at the same shape (observed 20.25 MB stack vs the 9.58 MB estimate,
+# benchmarks/results/ab_wide.txt). 52 = 24 * 2.11 rounded up — Mosaic's
+# stack allocator holds roughly double the live-set mirror again.
 _FWD_PLANES = 12
-_BWD_PLANES = 24
+_BWD_PLANES = 52
 
 
 def _pick_ti(n_pad: int, k: int, h: int, m: int, d: int, c: int,

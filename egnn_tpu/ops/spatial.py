@@ -6,10 +6,11 @@ The structural lever for selection beyond the quadratic kernels
 only way past it). Replaces the O(n^2) ranking band with O(n * C)
 candidates, C = 27 * cell capacity:
 
-1. bin nodes into a STATIC gdim^3 cell grid over the bounding box (cell ids
-   by floor-division; one argsort gives within-cell slot positions — the
-   same padded-grid idiom as ops/graph.py:_ragged_knn, sacrificial slot for
-   overflow);
+1. bin nodes into a STATIC gdim^3 cell grid with EQUAL-MASS per-axis
+   quantile edges (see cell_assignment — clustered clouds would overflow
+   equal-width cells; one argsort gives within-cell slot positions — the
+   same padded-grid idiom as ops/graph.py:_ragged_knn, sacrificial slot
+   for overflow);
 2. each node's candidates are the nodes of its 27-cell block, read as 27
    CONTIGUOUS (m_cap, c) blocks per node (block gathers stream, row
    gathers don't — the library's gather cost model);
@@ -81,36 +82,63 @@ def cell_assignment(c32, valid, gdim):
     pos (n,) int32 within-cell slot, counts (G+1,) int32 valid-node cell
     populations, margin (n,) f32 distance to the nearest INTERIOR 27-block
     face — box-coincident faces bound empty space and count as inf).
+
+    Bins are EQUAL-MASS per axis (quantile edges from a per-axis sort),
+    not equal-width: clustered clouds overflow a uniform grid's central
+    cells (a Gaussian core at n=16384/gdim=6 holds many x the 128-slot
+    cap, so every call used to fail the early certificate and pay the
+    exact-kernel fallback — measured 7.65 vs the grid's 3.0 ms). With
+    per-axis quantile edges any axis-independent density yields ~uniform
+    expected occupancy (n/G per cell), so realistic clouds certify. The
+    27-block coverage proof only needs MONOTONE per-axis faces, so the
+    certificate logic is unchanged — faces just live at edge-array
+    positions. Binning compares x >= edge directly (exact, no
+    floor-quotient misplacement), so the old absolute 1e-5*edge margin
+    shave becomes a relative one covering f32 subtract/square error.
     """
     n = c32.shape[0]
     G = gdim ** 3
 
-    # ---- bounding box over valid nodes; per-axis cell edges ----
+    # ---- per-axis equal-mass edges over valid nodes ----
     big = jnp.float32(3.4e38)
-    lo = jnp.min(jnp.where(valid[:, None], c32, big), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], c32, -big), axis=0)
-    edge = jnp.maximum((hi - lo) / gdim, jnp.float32(1e-30))
+    cs = jnp.sort(jnp.where(valid[:, None], c32, big), axis=0)  # (n, 3)
+    nv = jnp.sum(valid.astype(jnp.int32))
+    # interior edges at valid ranks floor(i*nv/gdim), i = 1..gdim-1
+    ranks = jnp.clip((jnp.arange(1, gdim, dtype=jnp.int32) * nv) // gdim,
+                     0, n - 1)
+    inner = jnp.take(cs, ranks, axis=0)             # (gdim-1, 3)
 
-    ia = jnp.clip(jnp.floor((c32 - lo) / edge).astype(jnp.int32), 0, gdim - 1)
+    # bin index = #(interior edges <= x); vectorized compare-sum, no
+    # gathers (gdim is small); invalid rows bin arbitrarily (cid -> G)
+    ia = jnp.sum(
+        (c32[:, None, :] >= inner[None, :, :]).astype(jnp.int32), axis=1
+    )  # (n, 3) in [0, gdim-1]
+
     # per-node distance to the nearest 27-block face; faces that coincide
-    # with (or lie beyond) the bounding box bound an EMPTY region -> inf
+    # with (or lie beyond) the bounding box bound an EMPTY region -> inf.
+    # Face positions e[ia-1] / e[ia+2] come from the edge arrays via a
+    # one-hot contraction ((n, gdim-1) * (gdim-1,) sums — the library's
+    # gather cost model says per-row gathers are the expensive class, a
+    # broadcast compare-sum is not). Interior faces are edge indices
+    # 1..gdim-1, i.e. inner[j] is face j+1: low face ia-1 interior iff
+    # ia >= 2 (inner slot ia-2), high face ia+2 interior iff ia <= gdim-3
+    # (inner slot ia+1).
     inf = jnp.float32("inf")
-    xrel = c32 - lo
-    iaf = ia.astype(jnp.float32)
-    # the block's low face (ia-1)*edge is interior only for ia >= 2 (at
-    # ia <= 1 it coincides with the box lo face -> empty beyond -> inf);
-    # symmetrically the high face (ia+2)*edge is interior only for
-    # ia <= gdim-3
-    m_lo = jnp.where(ia >= 2, xrel - (iaf - 1.0) * edge, inf)
-    m_hi = jnp.where(ia <= gdim - 3, (iaf + 2.0) * edge - xrel, inf)
-    # f32 robustness: floor((x-lo)/edge) can misplace a node by ~1 ulp of
-    # the quotient relative to the coordinate-space face (iaf)*edge, so a
-    # candidate "just outside" the block can truly lie "just inside" the
-    # margin. Shave the margin by a few orders of magnitude more than one
-    # ulp (1e-5 * edge per axis) so the certificate stays conservative.
-    eps = edge * jnp.float32(1e-5)
-    margin = jnp.min(jnp.minimum(m_lo, m_hi) - eps, axis=-1)  # (n,)
-    margin = jnp.maximum(margin, 0.0)
+    slot = jnp.arange(gdim - 1, dtype=jnp.int32)
+    onehot_lo = (slot[None, :, None] == (ia - 2)[:, None, :]).astype(
+        jnp.float32)
+    onehot_hi = (slot[None, :, None] == (ia + 1)[:, None, :]).astype(
+        jnp.float32)
+    e_lo = jnp.sum(onehot_lo * inner[None, :, :], axis=1)   # (n, 3)
+    e_hi = jnp.sum(onehot_hi * inner[None, :, :], axis=1)
+    m_lo = jnp.where(ia >= 2, c32 - e_lo, inf)
+    m_hi = jnp.where(ia <= gdim - 3, e_hi - c32, inf)
+    # relative shave: binning compares are exact; the remaining f32 error
+    # (face subtraction, the kernel's squared distances, margin^2) is a
+    # few ulps relative — 1e-4 leaves ~1000x slack while rejecting
+    # essentially no true coverage
+    margin = jnp.min(jnp.minimum(m_lo, m_hi), axis=-1)  # (n,)
+    margin = jnp.maximum(margin, 0.0) * jnp.float32(1.0 - 1e-4)
     cid = (ia[:, 0] * gdim + ia[:, 1]) * gdim + ia[:, 2]
     cid = jnp.where(valid, cid, G)          # masked nodes -> sentinel cell
 
@@ -137,8 +165,12 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
     lex order (the grid kernel), making boundary ties harmless —
     overflow scalar bool, static k and has_mask.
 
-    Returns (vals, idx, ok) where ok certifies exact equality with the
-    masked reference selection:
+    Returns (vals, idx, ok, row_exact) where ok certifies exact equality
+    with the masked reference selection and row_exact (n,) bool marks the
+    rows that are INDIVIDUALLY certified-or-masked-filled (the grid
+    dispatcher's bucketed per-row repair recomputes only ~row_exact rows;
+    under ``overflow`` no row is trusted — missing table entries poison
+    neighbors' candidate sets too). Whole-call components:
     - coverage is STRICT (vkth < margin^2) on the shaved margin;
     - cnt_le == k (when given) rejects boundary tie groups;
     - with a mask, vkth < MASKED_RANK_FILL is additionally required: the
@@ -172,7 +204,8 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
         row_ok = row_ok & (cnt_le == k)
     if has_mask:
         row_ok = row_ok & (vkth < jnp.float32(MASKED_RANK_FILL))
-    ok = jnp.all(row_ok | ~valid) & ~overflow
+    row_exact = (row_ok | ~valid) & ~overflow
+    ok = jnp.all(row_exact)
 
     # masked query rows: the exact masked-ranking output (all pairs filled
     # at 1e5 -> top_k returns columns 0..k-1)
@@ -180,7 +213,7 @@ def resort_and_certify(vals, gid, valid, margin, n_valid_cand, cnt_le,
     colk = jnp.arange(k, dtype=jnp.int32)
     vals = jnp.where(valid[:, None], vals, fill)
     gid = jnp.where(valid[:, None], gid, colk[None, :])
-    return vals, gid.astype(jnp.int32), ok
+    return vals, gid.astype(jnp.int32), ok, row_exact
 
 
 def _grid_knn_single(coors, mask, k, gdim, m_cap):
@@ -237,10 +270,11 @@ def grid_knn_select(
 ):
     """Grid-pruned kNN selection candidate for ops/neighbors.knn_select.
 
-    Returns (vals (b, n, k) f32, idx (b, n, k) int32, ok scalar bool).
-    ``ok`` certifies the result equals the exact masked selection (value
-    AND tie order); on False the caller must fall back to the exact
-    kernels. 3-D coordinates only (the spatial structure is the point).
+    Returns (vals (b, n, k) f32, idx (b, n, k) int32, ok scalar bool,
+    row_exact (b, n) bool). ``ok`` certifies the result equals the exact
+    masked selection (value AND tie order); on False the caller must
+    repair the ~row_exact rows or fall back to the exact kernels
+    entirely. 3-D coordinates only (the spatial structure is the point).
 
     ``occupancy`` (mean nodes per cell) defaults to max(12, 1.5*k): the
     minimum per-node block margin is one cell edge h and the expected
@@ -271,10 +305,11 @@ def grid_knn_select(
             jnp.full((b, n, k), jnp.float32(MASKED_RANK_FILL)),
             jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, n, k)),
             jnp.asarray(False),
+            jnp.zeros((b, n), bool),
         )
     fn = functools.partial(_grid_knn_single, k=k, gdim=gdim, m_cap=m_cap_)
     if mask is None:
-        vals, idx, ok = jax.vmap(lambda cc: fn(cc, None))(coors)
+        vals, idx, ok, row_exact = jax.vmap(lambda cc: fn(cc, None))(coors)
     else:
-        vals, idx, ok = jax.vmap(fn)(coors, mask)
-    return vals, idx, jnp.all(ok)
+        vals, idx, ok, row_exact = jax.vmap(fn)(coors, mask)
+    return vals, idx, jnp.all(ok), row_exact

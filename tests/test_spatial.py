@@ -27,7 +27,7 @@ def test_grid_knn_matches_exact_when_certified(seed, b, n, k, with_mask):
     coors = jax.random.uniform(key, (b, n, 3), jnp.float32) * 10.0
     mask = ((jax.random.uniform(jax.random.PRNGKey(seed + 9), (b, n)) > 0.15)
             if with_mask else None)
-    vals, idx, ok = grid_knn_select(coors, k, mask=mask)
+    vals, idx, ok, _rx = grid_knn_select(coors, k, mask=mask)
     assert bool(ok), "uniform data should certify"
     evals, eidx = _exact(coors, k, mask)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
@@ -40,7 +40,7 @@ def test_grid_knn_certificate_rejects_duplicate_pileup():
     the caller), never silently diverge."""
     base = np.random.RandomState(0).rand(8, 3).astype(np.float32)
     coors = jnp.asarray(np.tile(base, (512, 1)))[None]   # 4096 nodes, 8 sites
-    vals, idx, ok = grid_knn_select(coors, 4)
+    vals, idx, ok, _rx = grid_knn_select(coors, 4)
     assert not bool(ok)
 
 
@@ -49,11 +49,11 @@ def test_grid_knn_statically_uncertifiable_shapes_reject():
     corner blocks to cover (gdim < 4): reject statically."""
     key = jax.random.PRNGKey(1)
     coors = jax.random.uniform(key, (1, 128, 3), jnp.float32)
-    _, _, ok = grid_knn_select(coors, 64, occupancy=1.0, m_cap=1)
+    _, _, ok, _rx = grid_knn_select(coors, 64, occupancy=1.0, m_cap=1)
     assert not bool(ok)
     # n=512 at default occupancy -> gdim 3 -> static reject
     coors = jax.random.uniform(key, (1, 512, 3), jnp.float32)
-    _, _, ok = grid_knn_select(coors, 8)
+    _, _, ok, _rx = grid_knn_select(coors, 8)
     assert not bool(ok)
 
 
@@ -61,7 +61,7 @@ def test_grid_knn_masked_rows_match_exact_fill():
     key = jax.random.PRNGKey(2)
     coors = jax.random.uniform(key, (1, 2048, 3), jnp.float32) * 4.0
     mask = jnp.ones((1, 2048), bool).at[0, :190].set(False)
-    vals, idx, ok = grid_knn_select(coors, 6, mask=mask)
+    vals, idx, ok, _rx = grid_knn_select(coors, 6, mask=mask)
     assert bool(ok)
     evals, eidx = _exact(coors, 6, mask)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
@@ -79,14 +79,14 @@ def test_grid_knn_under_jit_and_anisotropy():
     # anisotropy stretches cells with the box: the binding margin is the
     # SMALLEST axis edge while the kth-NN radius follows the geometric
     # mean, so the default occupancy needs a (geomean/min)^3 boost here
-    vals, idx, ok = jax.jit(
+    vals, idx, ok, _rx = jax.jit(
         lambda c: grid_knn_select(c, 8, occupancy=6.0 * 12.0))(mild)
     assert bool(ok), "mild anisotropy should certify with boosted occupancy"
     evals, eidx = _exact(mild, 8)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
 
     needle = base * jnp.asarray([100.0, 1.0, 0.01])
-    _, _, ok = jax.jit(lambda c: grid_knn_select(c, 8))(needle)
+    _, _, ok, _rx = jax.jit(lambda c: grid_knn_select(c, 8))(needle)
     assert not bool(ok), "needle box must fail the certificate, not lie"
 
 
@@ -138,7 +138,7 @@ def test_grid_certificate_rejects_masked_fill_regime():
     # box side 5000 -> typical nn d^2 ~ (5000/10)^2 = 2.5e5 > 1e5 at n=1024
     coors = jax.random.uniform(key, (1, 1024, 3), jnp.float32) * 5000.0
     mask = jax.random.uniform(jax.random.PRNGKey(12), (1, 1024)) > 0.1
-    vals, idx, ok = grid_knn_select(coors, 8, mask=mask)
+    vals, idx, ok, _rx = grid_knn_select(coors, 8, mask=mask)
     assert not bool(ok), "kth distance >= 1e5 with a mask must not certify"
     a = knn_select(coors, 8, float("inf"), mask=mask, backend="auto")
     g = knn_select(coors, 8, float("inf"), mask=mask, backend="grid")
@@ -163,7 +163,7 @@ def test_grid_fuzz_certified_means_exact(seed):
     mask = None
     if rng.rand() < 0.5:
         mask = jax.random.uniform(jax.random.PRNGKey(seed + 99), (1, n)) > 0.2
-    vals, idx, ok = grid_knn_select(coors, k, mask=mask)
+    vals, idx, ok, _rx = grid_knn_select(coors, k, mask=mask)
     if bool(ok):
         evals, eidx = _exact(coors, k, mask)
         np.testing.assert_array_equal(np.asarray(idx), eidx)
@@ -200,7 +200,7 @@ def test_grid_integer_lattice_ties(n, k):
     side = max(2, int(round(n ** (1 / 3))))
     coors = jnp.asarray(
         rng.randint(0, side, size=(1, n, 3)).astype(np.float32))
-    vals, idx, ok = grid_knn_select(coors, k)
+    vals, idx, ok, _rx = grid_knn_select(coors, k)
     if bool(ok):
         evals, eidx = _exact(coors, k)
         np.testing.assert_array_equal(np.asarray(idx), eidx)

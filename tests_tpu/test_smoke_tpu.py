@@ -336,7 +336,7 @@ def test_grid_knn_kernel_on_chip():
     # that); certification needs bounded density ratio
     coors = jax.random.uniform(
         jax.random.PRNGKey(21), (1, n, 3), jnp.float32) * 10.0
-    vals, idx, ok = jax.jit(
+    vals, idx, ok, _rx = jax.jit(
         lambda c: grid_knn_select_pallas(c, k))(coors)
     assert bool(ok), "uniform cloud should certify on chip"
     ref = jax.jit(
@@ -360,7 +360,7 @@ def test_grid_knn_streamed_kernel_on_chip():
     n, k = 8192, 8
     coors = jax.random.uniform(
         jax.random.PRNGKey(23), (1, n, 3), jnp.float32) * 10.0
-    vals, idx, ok = jax.jit(
+    vals, idx, ok, _rx = jax.jit(
         lambda c: grid_knn_select_pallas(c, k, streamed=True))(coors)
     assert bool(ok)
     ref = jax.jit(
