@@ -51,12 +51,12 @@ meas("knn_select auto (packed-tiled)", jax.jit(sel), coors)
 if supports_grid_knn(N, K):
     # the measurement is only meaningful if the certificate PASSES (else
     # it times the O(n) early-skip, a spuriously huge 'win') — print it
-    _, _, cert = jax.jit(
+    _, _, cert, _rx = jax.jit(
         lambda c: grid_knn_select_pallas(c, K))(coors)
     print(f"grid certificate on this cloud: {bool(cert)}", flush=True)
 
     def sel_grid(c):
-        v, i, ok = grid_knn_select_pallas(c, K)
+        v, i, ok, _rx = grid_knn_select_pallas(c, K)
         return i.astype(jnp.float32).sum() * 1e-6 + ok.astype(jnp.float32)
 
     meas("grid kernel selection", jax.jit(sel_grid), coors)
