@@ -1,6 +1,6 @@
 #!/bin/bash
-# Round-3 TPU measurement queue (memory: egnn-tpu-round3-state). Run from
-# /root/repo in a FOREGROUND shell (background shells may lack the tunnel).
+# TPU measurement queue. Run from /root/repo (background shells DO carry
+# the tunnel — verified round 4).
 # Each step tees to benchmarks/results/ so a dropped tunnel loses nothing.
 set -u
 cd /root/repo
@@ -21,6 +21,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 # VERDICT-target A/Bs, then the rest, full smoke suite last.
 run smoke_hot    900  python -m pytest tests_tpu/ -q -k "flagship or fused or knn_select or train_step"
 run bench        900  python bench.py   # 4-arm autotune probe + final measure
+run route        1500 python benchmarks/grid_route_check.py   # uniform vs gaussian selection (equal-mass + repair)
+run route65k     1500 python benchmarks/grid_route_check.py 65k
+run brka5        590  python benchmarks/breakdown_anchor5.py net   # sparse uniform_graph_size arm
 run ab_wide      590  python benchmarks/ab_wide.py 16384 65536
 run bench_all    900  python benchmarks/bench_all.py
 run ab_grid      590  python benchmarks/ab_grid.py 16384 65536
