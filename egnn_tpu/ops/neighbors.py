@@ -490,42 +490,57 @@ def knn_select_gather(
         # ---- bucketed per-row repair -----------------------------------
         # Equal-mass binning makes HETEROGENEOUS cells (ops/spatial.py):
         # realistic clustered clouds certify all but a boundary sliver of
-        # rows (3.3% on a 16k Gaussian — a wide tail cell next to a narrow
-        # core cell gives d_k > margin). A whole-call fallback would pay
-        # the full O(n^2) exact kernel for that sliver; instead recompute
-        # ONLY the failing rows, padded to a static bucket R, with the
-        # asymmetric query-vs-points kernel (O(R*n), bitwise the exact
-        # kernel's rows — so the bucket may pad with already-certified
-        # rows, whose overwrite is a no-op). Falls back whole-call when
-        # failures exceed the bucket (incl. overflow/early-exit, where
-        # row_exact is all-False by construction).
-        R = min(n, max(128, n // 8))  # 128 = one lane tile
+        # rows (measured on-chip: 3.3% on a 16k Gaussian, 4.3% at 65k — a
+        # wide tail cell next to a narrow core cell gives d_k > margin). A
+        # whole-call fallback would pay the full O(n^2) exact kernel for
+        # that sliver; instead recompute ONLY the failing rows, padded to
+        # a static bucket, with the asymmetric query-vs-points kernel
+        # (O(R*n), bitwise the exact kernel's rows — so the bucket may pad
+        # with already-certified rows, whose overwrite is a no-op). TWO
+        # bucket tiers: n/16 covers the measured Gaussian rates with ~1.5x
+        # headroom at half the repair cost of a single n/8 bucket (the
+        # band is static — the small tier is what the common case pays);
+        # n/4 is the middle backstop before the whole-call exact fallback
+        # (which also absorbs overflow/early-exit, where row_exact is
+        # all-False by construction).
         can_repair = (
             (on_tpu or interpret)
             and supports_pallas_knn_queries(n)
         )
         if can_repair:
             bad = ~grow_exact                                   # (b, n)
-            repairable = jnp.all(bad.sum(axis=1) <= R)
+            nbad = bad.sum(axis=1)
 
-            def _repair(_):
-                _, fidx = jax.lax.top_k(bad.astype(jnp.float32), R)  # (b, R)
-                q = jnp.take_along_axis(
-                    coors_sg.astype(jnp.float32), fidx[..., None], axis=1)
-                qm = (jnp.take_along_axis(mask, fidx, axis=1)
-                      if mask is not None else None)
-                rv, ri = knn_select_queries_pallas(
-                    q, coors_sg, k, q_mask=qm, p_mask=mask,
-                    interpret=interpret)
-                vv = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
-                    gvals, fidx, rv)
-                ii = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
-                    gidx, fidx, ri)
-                return vv, ii
+            def _repair_with(R):
+                def _repair(_):
+                    _, fidx = jax.lax.top_k(bad.astype(jnp.float32), R)
+                    q = jnp.take_along_axis(
+                        coors_sg.astype(jnp.float32), fidx[..., None],
+                        axis=1)
+                    qm = (jnp.take_along_axis(mask, fidx, axis=1)
+                          if mask is not None else None)
+                    rv, ri = knn_select_queries_pallas(
+                        q, coors_sg, k, q_mask=qm, p_mask=mask,
+                        interpret=interpret)
+                    vv = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                        gvals, fidx, rv)
+                    ii = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                        gidx, fidx, ri)
+                    return vv, ii
+                return _repair
+
+            r_small = min(n, max(128, n // 16))  # 128 = one lane tile
+            r_big = min(n, max(256, n // 4))
+
+            def _mid(_):
+                return jax.lax.cond(
+                    jnp.all(nbad <= r_big), _repair_with(r_big),
+                    _exact_fallback, None)
 
             def _not_ok(_):
-                return jax.lax.cond(repairable, _repair, _exact_fallback,
-                                    None)
+                return jax.lax.cond(
+                    jnp.all(nbad <= r_small), _repair_with(r_small),
+                    _mid, None)
 
             vals, indices = jax.lax.cond(gok, _take_grid, _not_ok, None)
         else:
