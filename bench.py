@@ -32,19 +32,12 @@ EDGES_PER_STEP = BATCH * N * KNN * DEPTH
 
 
 def _set_knn_ti(ti):
-    """Override the full-band kNN kernel's row-band height (None = dispatcher
-    default) and clear its jit cache so the next trace picks it up. Tiling
-    only — selection results are bit-identical across ti."""
+    """Override the full-band kNN kernel's row-band height process-wide
+    (None = dispatcher default) via the kernel's supported tiling knob.
+    Tiling only — selection results are bit-identical across ti."""
     from egnn_tpu.ops.pallas import knn as K
 
-    if not hasattr(_set_knn_ti, "_orig"):
-        _set_knn_ti._orig = K._pick_ti
-    orig = _set_knn_ti._orig
-    if ti is None:
-        K._pick_ti = orig
-    else:
-        K._pick_ti = lambda n, _ti=ti: _ti if n % _ti == 0 else orig(n)
-    K._knn_call.clear_cache()
+    K.set_band_height(ti)
 
 
 def bench_tpu() -> float:

@@ -3,8 +3,8 @@
 At n=1024/k=8 the kernel measures ~50 us against a ~13 us VPU-op model.
 Round-4 on-chip result: the gap is the BAND HEIGHT itself, not per-program
 fixed cost — ti=256 (4 programs) runs 13.9 us vs ti=512 (2 programs)
-49.8 us and ti=1024 (1 program) 53.9 us. This harness monkeypatches
-_pick_ti and clears the jit cache to measure ti in {128, 256, 512, 1024},
+49.8 us and ti=1024 (1 program) 53.9 us. This harness uses the kernel's
+supported band_height knob to measure ti in {128, 256, 512, 1024},
 both bare and under the flagship's mask+adjacency bands, checking index
 equality against the dispatcher default before reporting a time (tiling
 must not change selection).
@@ -39,22 +39,19 @@ def _args(with_adj):
 
 
 def arm(ti, with_adj, ref_idx):
-    orig = K._pick_ti
-    if ti is not None:
-        K._pick_ti = lambda n, _ti=ti: _ti if n % _ti == 0 else orig(n)
     label = f"ti={ti or 'default'}{' +mask+adj' if with_adj else ''}"
     try:
-        K._knn_call.clear_cache()
         (coors,), kw = _args(with_adj)
 
-        _, idx = jax.jit(lambda c: K.knn_select_pallas(c, KNN, **kw))(coors)
+        _, idx = jax.jit(lambda c: K.knn_select_pallas(
+            c, KNN, band_height=ti, **kw))(coors)
         idx = np.asarray(idx)
         if ref_idx is not None and not np.array_equal(idx, ref_idx):
             print(f"{label}: INDEX MISMATCH vs default — not a pure tiling")
             return None, idx
 
         def sel(c):
-            v, i = K.knn_select_pallas(c, KNN, **kw)
+            v, i = K.knn_select_pallas(c, KNN, band_height=ti, **kw)
             return v.sum() + i.sum()
 
         t = measure_op(lambda c: sel(c), coors, reps_lo=200, reps_hi=800)
@@ -63,9 +60,6 @@ def arm(ti, with_adj, ref_idx):
     except Exception as e:  # compile failure at the VMEM edge
         print(f"{label}: FAILED ({type(e).__name__}: {str(e)[:120]})")
         return None, None
-    finally:
-        K._pick_ti = orig
-        K._knn_call.clear_cache()
 
 
 if __name__ == "__main__":

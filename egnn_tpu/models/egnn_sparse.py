@@ -199,6 +199,46 @@ class EGNNSparse(nn.Module):
             assert n % ugs == 0, (
                 f"uniform_graph_size={ugs} must divide the node count {n}"
             )
+            # Validate the positional contract when the inputs are CONCRETE
+            # (trace-time arrays pass through silently — the contract cannot
+            # be checked on tracers without paying a runtime check in every
+            # step). A violating layout would make gather_rows_blocked
+            # silently gather zeros (ops/core.py docstring) and the reshape
+            # LayerNorm compute cross-graph statistics.
+            # numpy, not jnp: under jit tracing even constant-input jnp ops
+            # stage out to tracers (omnistaging), which would make the bool()
+            # below raise; host numpy keeps the check trace-time-only.
+            import numpy as _np
+            if batch is not None and not isinstance(batch, jax.core.Tracer):
+                bh = _np.asarray(batch)
+                assert bool(_np.all(bh == _np.arange(n) // ugs)), (
+                    "uniform_graph_size requires a contiguous equal-size "
+                    "batch layout: batch[i] == i // uniform_graph_size"
+                )
+            if (uk is not None
+                    and not isinstance(edge_index, jax.core.Tracer)
+                    and not isinstance(edge_mask, jax.core.Tracer)):
+                ei = _np.asarray(edge_index)
+                # padding rows (edge_mask False) carry fill indices and are
+                # zeroed before aggregation — only live rows must honor the
+                # positional layout.
+                live = (_np.ones(ei.shape[1], bool) if edge_mask is None
+                        else _np.asarray(edge_mask).astype(bool))
+                rows_ok = _np.all(
+                    (ei[1] == _np.arange(ei.shape[1]) // uk)[live]
+                )
+                block_ok = _np.all((ei[0] // ugs == ei[1] // ugs)[live])
+                assert bool(rows_ok), (
+                    "uniform_degree + uniform_graph_size requires the "
+                    "positional receiver-major layout (row e has receiver "
+                    "e // k) — use partition_uniform_edges / the kNN "
+                    "builders, not partition_edges"
+                )
+                assert bool(block_ok), (
+                    "uniform_graph_size requires block-local edges (sender "
+                    "and receiver in the same graph block); got edges "
+                    "crossing graph boundaries"
+                )
 
         def gather_j(vals, idx):
             if ugs is not None and uk is not None:

@@ -40,6 +40,30 @@ _LANE = 128
 _ADJ_DTYPE = jnp.int8
 
 
+# Supported tiling knob (VERDICT r4 item 8): harnesses (bench.py, ab_ti.py)
+# used to monkey-patch _pick_ti; this is the public equivalent. Selection
+# results are bit-identical across band heights — performance only.
+_BAND_HEIGHT_OVERRIDE: Optional[int] = None
+
+
+def set_band_height(ti: Optional[int]) -> None:
+    """Override the full-band kernel's row-band height for subsequent calls
+    (None restores the measured default, see _pick_ti). Heights that don't
+    divide the padded n fall back to the default for that call. Clears the
+    kernel's jit cache so traces already cached at another height re-trace.
+    """
+    global _BAND_HEIGHT_OVERRIDE
+    _BAND_HEIGHT_OVERRIDE = ti
+    _knn_call.clear_cache()
+
+
+def _effective_ti(n: int, band_height: Optional[int]) -> int:
+    ti = band_height if band_height is not None else _BAND_HEIGHT_OVERRIDE
+    if ti is not None and n % ti == 0:
+        return ti
+    return _pick_ti(n)
+
+
 def _pick_ti(n: int) -> int:
     """Row-band height. Short bands WIN on-chip: at n=1024/k=8 (v5e,
     benchmarks/ab_ti.py, round 4) ti=128 measures 24.0 us bare / 24.4 us
@@ -102,11 +126,14 @@ def _prep_knn_inputs(coors, mask, adj_mat, has_mask, has_adj):
         # n=4096 (24.3 vs 24.8 / 490.6 vs 491.5 us — the band kernels are
         # VPU-compute-bound, benchmarks/ab_adj_dtype.py); kept for the 4x
         # smaller HBM footprint (the i32 band is 1 GB at n=16384).
-        adj_i32 = jnp.pad(adj_mat.astype(_ADJ_DTYPE),
-                          ((0, 0), (0, pad), (0, pad)))
+        # (adj != 0), not a plain astype: an integer adjacency whose nonzero
+        # entries are multiples of 256 would wrap to 0 under a bare i8 cast
+        # and silently drop those edges.
+        adj_band = jnp.pad((adj_mat != 0).astype(_ADJ_DTYPE),
+                           ((0, 0), (0, pad), (0, pad)))
     else:
-        adj_i32 = jnp.zeros((b, 8, _LANE), _ADJ_DTYPE)  # dummy, never read
-    return coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c
+        adj_band = jnp.zeros((b, 8, _LANE), _ADJ_DTYPE)  # dummy, never read
+    return coors32, coors_t, mask_i32, adj_band, b, n_real, n, c
 
 
 def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
@@ -158,12 +185,14 @@ def _knn_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "interpret", "has_mask", "has_adj")
+    jax.jit,
+    static_argnames=("k", "interpret", "has_mask", "has_adj", "band_height"),
 )
-def _knn_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj):
-    coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c = _prep_knn_inputs(
+def _knn_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
+              band_height=None):
+    coors32, coors_t, mask_i32, adj_band, b, n_real, n, c = _prep_knn_inputs(
         coors, mask, adj_mat, has_mask, has_adj)
-    ti = _pick_ti(n)
+    ti = _effective_ti(n, band_height)
 
     grid = (b, n // ti)
     kernel = functools.partial(
@@ -182,7 +211,7 @@ def _knn_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, ti, adj_i32.shape[2]) if has_adj else (1, 8, _LANE),
+                (1, ti, adj_band.shape[2]) if has_adj else (1, 8, _LANE),
                 (lambda ib, ii: (ib, ii, 0)) if has_adj else (lambda ib, ii: (ib, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
@@ -201,7 +230,7 @@ def _knn_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coors32, coors_t, mask_i32, adj_i32)
+    )(coors32, coors_t, mask_i32, adj_band)
 
     return vals[:, :n_real], idx[:, :n_real]
 
@@ -212,6 +241,7 @@ def knn_select_pallas(
     mask: Optional[jnp.ndarray] = None,
     adj_mat: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    band_height: Optional[int] = None,
 ):
     """Top-k neighbor selection under the reference's ranking rules.
 
@@ -221,6 +251,10 @@ def knn_select_pallas(
       mask: optional (b, n) bool node mask.
       adj_mat: optional (b, n, n) bool adjacency (self/adjacent overrides).
       interpret: run in the Pallas interpreter (CPU testing).
+      band_height: optional row-band height (tiling knob; results are
+        bit-identical across heights — see set_band_height for the
+        process-wide override). Must divide the lane-padded n, else the
+        measured default applies.
 
     Returns:
       (vals, idx): (b, n, k) f32 winning ranking values (ascending) and
@@ -229,6 +263,7 @@ def knn_select_pallas(
     return _knn_call(
         coors, mask, adj_mat, k=k, interpret=interpret,
         has_mask=mask is not None, has_adj=adj_mat is not None,
+        band_height=band_height,
     )
 
 
@@ -355,9 +390,13 @@ def knn_select_queries_pallas(
     (q_mask_i & p_mask_j) failures filled at 1e5, ties by (value, column)
     = jax.lax.top_k order. The arithmetic (per-axis f32 difference-square
     accumulation, min/first-argmin/evict extraction) is the full-band
-    kernel's verbatim, so output rows are BITWISE what the exact kernel
-    would produce — overwriting an already-certified row with its repair
-    is a no-op, which lets the repair bucket pad with arbitrary rows.
+    kernel's verbatim, so output rows match the exact kernel: indices and
+    tie order bitwise, values exact up to XLA FMA discretion (distinct
+    expression graphs may differ in the last ulp — tests pin indices
+    exactly, values at 1e-6; CLAUDE.md). Overwriting an already-certified
+    row with its repair is therefore a no-op at the contract level (an
+    exact-boundary valid_radius comparison could flip only within that
+    ulp), which lets the repair bucket pad with arbitrary rows.
     """
     has_mask = q_mask is not None
     assert (p_mask is not None) == has_mask, "q_mask and p_mask come together"
@@ -493,7 +532,7 @@ def _knn_tiled_kernel(coors_i_ref, coors_tj_ref, mask_i_ref, mask_j_ref,
 )
 def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
                     tj=_TJ):
-    coors32, coors_t, mask_i32, adj_i32, b, n_real, n, c = _prep_knn_inputs(
+    coors32, coors_t, mask_i32, adj_band, b, n_real, n, c = _prep_knn_inputs(
         coors, mask, adj_mat, has_mask, has_adj)
     tj = min(tj, n)
     while n % tj:
@@ -556,7 +595,7 @@ def _knn_tiled_call(coors, mask, adj_mat, *, k, interpret, has_mask, has_adj,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coors32, coors_t, mask_i32, mask_i32, adj_i32)
+    )(coors32, coors_t, mask_i32, mask_i32, adj_band)
 
     return vals[:, :n_real], idx[:, :n_real]
 

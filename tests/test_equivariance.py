@@ -76,6 +76,41 @@ def test_higher_dimension():
     assert f.shape == feats.shape and c.shape == coors.shape
 
 
+def test_higher_dimension_so5_equivariance():
+    """5-D NUMERIC equivariance under a real SO(5) rotation + translation —
+    stronger than the reference's shape-only test
+    (/root/reference/tests/test_equivariance.py:36-45): samples a random
+    orthogonal matrix (QR of a Gaussian, determinant corrected to +1) and
+    asserts invariance/equivariance in f64, making E(n != 3) a numeric
+    guarantee rather than a no-crash check."""
+    key = jax.random.PRNGKey(17)
+    layer = EGNN(dim=64, edge_dim=4, norm_coors=True)
+    keys = jax.random.split(key, 6)
+
+    # random SO(5): QR of a Gaussian, sign-fix the diagonal for a uniform
+    # (Haar) draw over O(5), then flip one column if det == -1.
+    g = np.asarray(jax.random.normal(keys[0], (5, 5), dtype=jnp.float64))
+    q, r = np.linalg.qr(g)
+    q = q * np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    np.testing.assert_allclose(q @ q.T, np.eye(5), atol=1e-12)
+    assert np.linalg.det(q) > 0
+    R = jnp.asarray(q)
+    T = jax.random.normal(keys[1], (1, 1, 5), dtype=jnp.float64)
+
+    feats = jax.random.normal(keys[2], (1, 16, 64))
+    coors = jax.random.normal(keys[3], (1, 16, 5))
+    edges = jax.random.normal(keys[4], (1, 16, 16, 4))
+    mask = jnp.ones((1, 16), dtype=bool)
+
+    params = jax.jit(layer.init)(keys[5], feats, coors, edges, mask)
+    apply = jax.jit(layer.apply)
+    outs = _run_three(lambda p, f, c, **kw: apply(p, f, c, **kw),
+                      params, feats, coors, R, T, edges=edges, mask=mask)
+    _check(*outs, R, T)
+
+
 def test_egnn_equivariance_with_nearest_neighbors():
     key = jax.random.PRNGKey(2)
     layer = EGNN(dim=512, edge_dim=1, num_nearest_neighbors=8)

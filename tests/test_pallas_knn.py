@@ -78,6 +78,28 @@ def test_higher_dim_coords():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.indices))
 
 
+@pytest.mark.parametrize("ti", [128, 256, 512, 4096])
+def test_band_height_knob_bit_identical(ti):
+    """The supported tiling knob (band_height param / set_band_height) is
+    performance-only: results are bit-identical across heights, and
+    non-dividing heights fall back to the default."""
+    from egnn_tpu.ops.pallas import knn as K
+
+    coors, mask, adj = _random_case(11, 2, 512, 3, 8, True, True)
+    v0, i0 = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj, interpret=True)
+    v1, i1 = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
+                               interpret=True, band_height=ti)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    K.set_band_height(256)
+    try:
+        v2, i2 = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i0))
+    finally:
+        K.set_band_height(None)
+
+
 def test_dispatcher_cpu_fallback_matches():
     coors, mask, adj = _random_case(3, 2, 150, 3, 4, True, True)
     nbhd = nb.knn_select(coors, 4, 0.0, mask=mask, adj_mat=adj)
@@ -466,21 +488,22 @@ def test_row_band_height_invariance(ti):
     """bench.py's autotune probes the full-band kernel at overridden row-band
     heights (ti=1024 arm): selection must be bit-identical across ti — the
     band height is pure tiling. Pin that invariance (and the bench helper's
-    restore semantics) at two heights against the default."""
+    restore semantics, now backed by the kernel's supported set_band_height
+    knob) at two heights against the default."""
     import bench
 
     coors, mask, adj = _random_case(21, 2, 256, 3, 8, True, True)
     base_v, base_i = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
                                        interpret=True)
     from egnn_tpu.ops.pallas import knn as K
-    default_pick = K._pick_ti
     try:
         bench._set_knn_ti(ti)
-        assert K._pick_ti(256) == ti
+        assert K._effective_ti(256, None) == (ti if 256 % ti == 0
+                                              else K._pick_ti(256))
         v, i = knn_select_pallas(coors, 8, mask=mask, adj_mat=adj,
                                  interpret=True)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(base_i))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(base_v))
     finally:
         bench._set_knn_ti(None)
-    assert K._pick_ti(256) == default_pick(256)
+    assert K._effective_ti(256, None) == K._pick_ti(256)
