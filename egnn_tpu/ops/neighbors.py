@@ -146,6 +146,26 @@ _PACKED_FALLBACK = True
 # ties at the boundary) exact through the quadratic kernels.
 GRID_AUTO = True
 
+# Route backend="auto" WITH a payload through the fused selection+gather
+# kernel (ops/pallas/knn.py:knn_select_gather_pallas): the full-band kernel
+# keeps the [coors|mask|feats] table resident in VMEM and extracts winner
+# rows with one-hot MXU matmuls, eliminating the separate XLA payload gather.
+# Flipped True on the round-5 measured win (benchmarks/ab_fused_gather.py,
+# v5e, flagship n=1024 k=8 dim=32 mask+adjacency): layer fwd+bwd 150.2 vs
+# 174.0 us, depth-3 network fwd+bwd wrt coords 453.7 vs 526.3 us (-14%) —
+# despite the fused FORWARD alone measuring slower than select+XLA-gather
+# (85.8 vs 44.1 us): the win is the backward (one segment-sum scatter on
+# saved indices vs the gather transpose chain XLA builds) plus the removed
+# (b,n,k,tw) intermediate. Results bitwise identical (on-chip gate).
+# backend="fused" forces it for A/B harnesses.
+FUSED_GATHER_AUTO = True
+
+# Minimum n for the grid path's tier-0 WINDOWED repair (x-sorted point
+# window instead of a full scan; ops/pallas/knn.py window notes). Below
+# this the full-scan repair bucket is already sub-ms and the extra sort +
+# cond nesting don't pay. Tests lower it to exercise the tier on CPU.
+_WINDOW_REPAIR_MIN_N = 16384
+
 # MEASURED OUTCOME (v5e, n=16384, k=16, the flagship large-n regime): the
 # packed candidate kernel alone is ~1.6x faster than the exact full-band
 # kernel (4.4-4.8 vs 6.0-7.7 ms), but the exact XLA refine gives the win
@@ -507,13 +527,33 @@ def knn_select_gather(
             (on_tpu or interpret)
             and supports_pallas_knn_queries(n)
         )
+        # tier-0 WINDOWED repair (round 5): failing rows re-rank against a
+        # W-wide x-sorted point window instead of all n points — O(R*W),
+        # measured 2.1 vs 7.7 ms at R=4096/n=65536/k=16
+        # (ops/pallas/knn.py window notes). Each repaired row carries its
+        # own x-margin certificate; rows it cannot certify tier up to the
+        # full-scan bucket. Gated at n >= 16384: below that the full-scan
+        # repair is already sub-ms and the extra sort+conds don't pay.
+        from .pallas.knn import (knn_select_window_pallas,
+                                 supports_pallas_knn_window)
+
+        win_W = min(-(-(n // 4) // 128) * 128, -(-n // 128) * 128)
+        can_window = (
+            can_repair and n >= _WINDOW_REPAIR_MIN_N
+            and supports_pallas_knn_window(n, win_W)
+        )
         if can_repair:
             bad = ~grow_exact                                   # (b, n)
             nbad = bad.sum(axis=1)
 
-            def _repair_with(R):
+            def _repair_with(R, bad_map=None, base=None):
+                """Full-scan repair of ``bad_map`` rows (bucket size R) on
+                top of ``base`` (vals, idx) arrays."""
+                bm = bad if bad_map is None else bad_map
+
                 def _repair(_):
-                    _, fidx = jax.lax.top_k(bad.astype(jnp.float32), R)
+                    bv, bi = (gvals, gidx) if base is None else base
+                    _, fidx = jax.lax.top_k(bm.astype(jnp.float32), R)
                     q = jnp.take_along_axis(
                         coors_sg.astype(jnp.float32), fidx[..., None],
                         axis=1)
@@ -523,14 +563,73 @@ def knn_select_gather(
                         q, coors_sg, k, q_mask=qm, p_mask=mask,
                         interpret=interpret)
                     vv = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
-                        gvals, fidx, rv)
+                        bv, fidx, rv)
                     ii = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
-                        gidx, fidx, ri)
+                        bi, fidx, ri)
                     return vv, ii
                 return _repair
 
             r_small = min(n, max(128, n // 16))  # 128 = one lane tile
             r_big = min(n, max(256, n // 4))
+
+            def _window_tier(_):
+                """Tier 0: windowed repair of <= r_small rows; rows whose
+                window certificate fails tier up to one full-scan bucket
+                (rare — only rows whose kth neighbor sits beyond the W-wide
+                x-mass window)."""
+                c32 = coors_sg.astype(jnp.float32)
+                inf = jnp.float32("inf")
+                xkey = (jnp.where(mask, c32[..., 0], inf)
+                        if mask is not None else c32[..., 0])
+                order = jnp.argsort(xkey, axis=1).astype(jnp.int32)  # (b, n)
+                pts_s = jnp.take_along_axis(c32, order[..., None], axis=1)
+                pm_s = (jnp.take_along_axis(mask, order, axis=1)
+                        if mask is not None else None)
+                # x-rank of every node = inverse permutation of the sort
+                rank = jnp.zeros((b, n), jnp.int32)
+                rank = jax.vmap(lambda rr, oo: rr.at[oo].set(
+                    jnp.arange(n, dtype=jnp.int32)))(rank, order)
+                # bucket: bad rows first, sorted by x-rank (tile-local
+                # windows then cover tile neighbors); pad rows are good
+                # rows whose overwrite is conditioned away below
+                bigr = jnp.int32(2 * n)
+                badkey = jnp.where(bad, rank, bigr + rank)
+                negk, fidx = jax.lax.top_k(-badkey, r_small)     # (b, R)
+                q = jnp.take_along_axis(c32, fidx[..., None], axis=1)
+                qranks = jnp.take_along_axis(rank, fidx, axis=1)
+                rv, ri, rmargin = knn_select_window_pallas(
+                    q, qranks, pts_s, order, k, win_W,
+                    p_mask_sorted=pm_s, interpret=interpret)
+                win_ok = rv[:, :, k - 1] < rmargin * rmargin
+                if mask is not None:
+                    win_ok = win_ok & (
+                        rv[:, :, k - 1] < jnp.float32(MASKED_RANK_FILL))
+                row_bad = jnp.take_along_axis(bad, fidx, axis=1)
+                apply_row = row_bad & win_ok                     # (b, R)
+                old_v = jnp.take_along_axis(gvals, fidx[..., None], axis=1)
+                old_i = jnp.take_along_axis(gidx, fidx[..., None], axis=1)
+                uv = jnp.where(apply_row[..., None], rv, old_v)
+                ui = jnp.where(apply_row[..., None], ri, old_i)
+                vv = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                    gvals, fidx, uv)
+                ii = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                    gidx, fidx, ui)
+                fixed = jnp.zeros((b, n), bool)
+                fixed = jax.vmap(lambda a, i2, u: a.at[i2].set(u))(
+                    fixed, fidx, apply_row)
+                still_bad = bad & ~fixed
+                nbad2 = still_bad.sum(axis=1)
+
+                def _done(_):
+                    return vv, ii
+
+                return jax.lax.cond(
+                    jnp.all(nbad2 == 0), _done,
+                    _repair_with(r_small, bad_map=still_bad,
+                                 base=(vv, ii)),
+                    None)
+
+            tier0 = _window_tier if can_window else _repair_with(r_small)
 
             def _mid(_):
                 return jax.lax.cond(
@@ -539,7 +638,7 @@ def knn_select_gather(
 
             def _not_ok(_):
                 return jax.lax.cond(
-                    jnp.all(nbad <= r_small), _repair_with(r_small),
+                    jnp.all(nbad <= r_small), tier0,
                     _mid, None)
 
             vals, indices = jax.lax.cond(gok, _take_grid, _not_ok, None)
@@ -553,6 +652,53 @@ def knn_select_gather(
         gathered = (gather_nodes(build_table(), nbhd.indices)
                     if payload is not None else None)
         return nbhd, gathered
+
+    # ---- fused selection + payload gather (opt-in / FUSED_GATHER_AUTO) ----
+    # One kernel pass: full-band selection with the payload table resident
+    # in VMEM, winner rows extracted by one-hot MXU matmuls (bit-exact with
+    # gather_nodes under HIGHEST). Backward = the same segment-sum scatter
+    # gather_nodes' VJP uses, on the saved indices; selection itself stays
+    # stop-gradient. Engages only where the plain full-band kernel would
+    # (same ranking semantics incl. adjacency), table fits VMEM, and a
+    # payload is present.
+    if payload is not None and (use_pallas or backend == "fused"):
+        from .pallas.knn import (knn_select_gather_pallas,
+                                 supports_pallas_knn_gather)
+
+        table = build_table()
+        tw = table.shape[-1]
+        want_fused = backend == "fused" or (
+            backend == "auto" and FUSED_GATHER_AUTO)
+        if (want_fused and (on_tpu or interpret) and kernel_ok
+                and supports_pallas_knn_gather(n, tw, k)):
+
+            @jax.custom_vjp
+            def _fused(tbl):
+                v, i, gg = knn_select_gather_pallas(
+                    coors_sg, k, tbl, mask=mask, adj_mat=adj_mat,
+                    interpret=interpret)
+                return jax.lax.stop_gradient(v), jax.lax.stop_gradient(i), gg
+
+            def _fused_fwd(tbl):
+                out = _fused(tbl)
+                return out, out[1]
+
+            def _fused_bwd(idx_res, ct):
+                from .segment import segment_sum
+
+                dg = ct[2]
+                offs = (jnp.arange(b, dtype=idx_res.dtype) * n)[:, None, None]
+                ids = (idx_res + offs).reshape(-1)
+                dv = segment_sum(
+                    dg.reshape(-1, tw), ids, b * n).reshape(b, n, tw)
+                return (dv.astype(table.dtype),)
+
+            _fused.defvjp(_fused_fwd, _fused_bwd)
+            vals, indices, gathered = _fused(table)
+            vals = vals.astype(coors.dtype)
+            valid = vals <= jnp.asarray(valid_radius, vals.dtype)
+            nbhd = Neighborhood(indices=indices, ranking=vals, valid=valid)
+            return nbhd, gathered
 
     if use_pallas or use_tiled:
         vals, indices = _exact_selection()

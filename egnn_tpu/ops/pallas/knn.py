@@ -55,6 +55,7 @@ def set_band_height(ti: Optional[int]) -> None:
     global _BAND_HEIGHT_OVERRIDE
     _BAND_HEIGHT_OVERRIDE = ti
     _knn_call.clear_cache()
+    _knn_gather_call.clear_cache()
 
 
 def _effective_ti(n: int, band_height: Optional[int]) -> int:
@@ -268,6 +269,187 @@ def knn_select_pallas(
 
 
 # ---------------------------------------------------------------------------
+# selection FUSED with the payload gather (full-band + in-kernel MXU extract)
+# ---------------------------------------------------------------------------
+#
+# The full-band kernel streams every node's coordinates through VMEM and
+# throws them away; the layer then re-fetches the winners' [coors|mask|feats]
+# rows with an XLA gather (~25 us/layer fwd+bwd at the flagship, the
+# second-largest per-layer cost after the XLA pair pipeline — BASELINE.md).
+# This variant keeps the (n, tw) payload table resident in VMEM and extracts
+# each extraction round's winner row with a one-hot MXU matmul: the winner
+# one-hot (col == pos) is already computed for the eviction, and
+# onehot @ table under Precision.HIGHEST is BIT-exact row extraction (one
+# 1.0*v product, n-1 exact 0.0 products — the same guarantee
+# ops/core.py:gather_rows_blocked pins on-chip). k rounds deposit a
+# (ti, k*tw) block, one aligned store.
+#
+# MEASURED (v5e, round 5, benchmarks/ab_fused_gather.py, flagship n=1024
+# k=8 dim=32 under mask+adjacency): forward alone LOSES (85.8 us vs 44.1 us
+# select+XLA-gather — the HIGHEST one-hot matmuls cost ~62 us), but the
+# LAYER fwd+bwd wins 150.2 vs 174.0 us and the depth-3 network 453.7 vs
+# 526.3 us (-14%): the backward collapses to one segment-sum scatter on the
+# saved indices and the (b,n,k,tw) gather intermediate disappears from the
+# autodiff graph. Bitwise identical to select+gather (on-chip gate).
+# Default via FUSED_GATHER_AUTO in ops/neighbors.py (layer-level discipline:
+# op-level timings were anti-predictive here — re-measure at the layer).
+
+
+def supports_pallas_knn_gather(n: int, tw: int, k: int) -> bool:
+    """VMEM model: the two (TI, n) f32 band buffers (ranking + col iota)
+    plus the lane-padded payload table, coordinate planes, and the
+    (TI, k*tw) output block, against a 14 MB bound (2 MB headroom for
+    Mosaic temporaries and lax.cond output placement — CLAUDE.md gotcha)."""
+    n_pad = -(-n // _LANE) * _LANE
+    tw_pad = -(-tw // _LANE) * _LANE
+    ktw_pad = -(-(k * tw) // _LANE) * _LANE
+    used = (
+        2 * _LANE * n_pad * 4      # ranking band + col iota
+        + n_pad * tw_pad * 4       # payload table
+        + 2 * n_pad * _LANE * 4    # coors + coors_t lane-padded planes
+        + _LANE * ktw_pad * 4      # payload output block
+    )
+    return used <= 14 * 1024 * 1024
+
+
+def _knn_gather_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref, table_ref,
+                       out_vals_ref, out_idx_ref, out_pay_ref,
+                       *, n: int, n_real: int, k: int, c: int, ti: int,
+                       tw: int, has_mask: bool, has_adj: bool):
+    del tw
+    i0 = pl.program_id(1) * ti
+    col = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 1)
+
+    # ---- (TI, n) ranking band: identical to _knn_kernel ----
+    ranking = jnp.zeros((ti, n), jnp.float32)
+    for cc in range(c):
+        xi_c = coors_ref[0, pl.ds(i0, ti), cc].reshape(ti, 1)
+        xj_c = coors_t_ref[0, cc, :].reshape(1, n)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+    if has_mask:
+        mi = mask_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
+        mj = mask_ref[0, 0, :].reshape(1, n)
+        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
+    if has_adj:
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 0) + i0
+        eye = row_g == col
+        at = adj_ref[0, :, :].astype(jnp.int32) > 0
+        ranking = jnp.where(eye, -1.0, ranking)
+        ranking = jnp.where(at & ~eye, 0.0, ranking)
+    if n != n_real:
+        ranking = jnp.where(col >= n_real, _PAD_FILL, ranking)
+
+    table = table_ref[0, :, :]
+    vals, idxs, pays = [], [], []
+    for _ in range(k):
+        m = jnp.min(ranking, axis=1, keepdims=True)
+        pos = jnp.min(jnp.where(ranking == m, col, n), axis=1, keepdims=True)
+        onehot = (col == pos).astype(jnp.float32)
+        pay = jax.lax.dot_general(
+            onehot, table,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        vals.append(m)
+        idxs.append(pos)
+        pays.append(pay)
+        ranking = jnp.where(col == pos, _EVICT_FILL, ranking)
+
+    out_vals_ref[0, :, :] = jnp.concatenate(vals, axis=1)
+    out_idx_ref[0, :, :] = jnp.concatenate(idxs, axis=1)
+    out_pay_ref[0, :, :] = jnp.concatenate(pays, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "interpret", "has_mask", "has_adj", "band_height"),
+)
+def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
+                     has_adj, band_height=None):
+    coors32, coors_t, mask_i32, adj_band, b, n_real, n, c = _prep_knn_inputs(
+        coors, mask, adj_mat, has_mask, has_adj)
+    tw = table.shape[-1]
+    table32 = table.astype(jnp.float32)
+    if n != n_real:
+        table32 = jnp.pad(table32, ((0, 0), (0, n - n_real), (0, 0)))
+    ti = _effective_ti(n, band_height)
+
+    grid = (b, n // ti)
+    kernel = functools.partial(
+        _knn_gather_kernel, n=n, n_real=n_real, k=k, c=c, ti=ti, tw=tw,
+        has_mask=has_mask, has_adj=has_adj,
+    )
+    vals, idx, pay = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, mask_i32.shape[2]),
+                lambda ib, ii: (ib, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ti, adj_band.shape[2]) if has_adj else (1, 8, _LANE),
+                (lambda ib, ii: (ib, ii, 0)) if has_adj else (lambda ib, ii: (ib, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, n, tw), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, k * tw), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, k * tw), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3 * b * n * n * c + 4 * b * n * n * k
+                      + 2 * b * n * n * k * tw),
+            bytes_accessed=int(b * n * (4 * c + 8 * k + 4 * tw * (1 + k))
+                               + (b * n * n if has_adj else 0)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coors32, coors_t, mask_i32, adj_band, table32)
+
+    return (
+        vals[:, :n_real],
+        idx[:, :n_real],
+        pay[:, :n_real].reshape(b, n_real, k, tw),
+    )
+
+
+def knn_select_gather_pallas(
+    coors: jnp.ndarray,
+    k: int,
+    table: jnp.ndarray,                    # (b, n, tw) payload rows
+    mask: Optional[jnp.ndarray] = None,
+    adj_mat: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    band_height: Optional[int] = None,
+):
+    """Selection + payload gather in ONE kernel pass (forward only — the
+    caller owns differentiation; ops/neighbors.py wraps this in a custom
+    VJP whose backward is the same segment-sum scatter gather_nodes uses).
+
+    Returns ``(vals, idx, gathered)`` where gathered is (b, n, k, tw) — the
+    table rows at the winning indices, bit-exact with
+    ``gather_nodes(table, idx)`` (one-hot extraction under HIGHEST)."""
+    return _knn_gather_call(
+        coors, mask, adj_mat, table, k=k, interpret=interpret,
+        has_mask=mask is not None, has_adj=adj_mat is not None,
+        band_height=band_height,
+    )
+
+
+# ---------------------------------------------------------------------------
 # asymmetric query-vs-points variant: exact selection for a ROW SUBSET
 # ---------------------------------------------------------------------------
 
@@ -370,6 +552,221 @@ def _knn_query_call(queries, q_mask, points, p_mask, *, k, interpret,
         interpret=interpret,
     )(q32, qm, coors_t, pm)
     return vals[:, :r_real], idx[:, :r_real]
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED query variant: exact selection of query rows against an x-sorted
+# point window (the grid path's tier-0 repair engine, round 5)
+# ---------------------------------------------------------------------------
+#
+# The full-scan repair re-ranks each failing row against ALL n points —
+# O(R*n) — although a failing row's true neighbors live within a bounded
+# margin of its own position (VERDICT r4 item 2). With points SORTED BY
+# x-COORDINATE, a contiguous window of W sorted rows centered on the query's
+# x-rank covers every true neighbor whose distance is below the window's
+# x-margin, and that margin is checkable per row EXACTLY: any out-of-window
+# point p has |qx - px| >= min(qx - x_lo, x_hi - qx) =: margin (x_lo/x_hi
+# the window's edge values, conservative because they lie inside), so
+# dist(q, p) >= margin^2 — a row whose kth selected value is strictly below
+# the (f32-shaved) margin^2 is certified exact. Failing rows tier up to the
+# full-scan kernel; certified rows are bitwise the exact selection
+# (indices/tie order; values up to XLA FMA discretion, as everywhere).
+#
+# Mosaic notes: window starts are passed in units of 128-LANE TILES and
+# multiplied inside the kernel — a dynamic lane-axis slice start must be
+# STATICALLY provably 128-aligned (raw offsets fail to compile: "cannot
+# statically prove that index in dimension 1 is a multiple of 128").
+# Extraction resolves ties by minimum ORIGINAL id (not window position —
+# window order is x-rank order, which would break lax.top_k tie parity),
+# reading the original ids from a windowed (1, W) plane.
+#
+# Measured (v5e, benchmarks/proto_window_slice.py, R=4096 W=16384 k=16 at
+# n=65536): 2.09 ms vs the full-scan repair kernel's 7.71 ms — 3.7x.
+
+
+def _pick_ti_window(W: int, n_pad: int, R: int) -> int:
+    """Query-band height for the windowed kernel. Two constraints:
+    (a) VMEM: two (ti, W) planes plus the ~10 lane-padded (·, n)
+        point/mask/id planes under the same 9 MB cond-context cap as
+        _pick_ti_queries;
+    (b) RANK SPREAD: all ti rows of a program share ONE window (the
+        dynamic slice start is a per-program scalar), so a tile of
+        rank-sorted queries spanning ~n*ti/R ranks must stay well inside
+        W or edge rows get no margin — cap the expected spread at W/4."""
+    ti = _LANE
+    while ti > 8 and 2 * ti * W * 4 + 10 * n_pad * 4 > 9 * 1024 * 1024:
+        ti //= 2
+    while ti > 8 and n_pad * ti > (R * W) // 4:
+        ti //= 2
+    return ti
+
+
+def supports_pallas_knn_window(n: int, W: int) -> bool:
+    n_pad = -(-n // _LANE) * _LANE
+    return (
+        W % _LANE == 0
+        and W <= n_pad
+        and 2 * 8 * W * 4 + 10 * n_pad * 4 <= 9 * 1024 * 1024
+    )
+
+
+def _knn_window_kernel(starts_ref, q_ref, qm_ref, pts_ref, pm_ref, ids_ref,
+                       out_vals_ref, out_idx_ref,
+                       *, W: int, n: int, n_real: int, k: int, c: int,
+                       ti: int, has_mask: bool):
+    ib = pl.program_id(0)
+    ii = pl.program_id(1)
+    s = starts_ref[ib, ii] * _LANE      # lane-tile units -> element offset
+    i0 = ii * ti
+
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (ti, W), 1) + s
+    ranking = jnp.zeros((ti, W), jnp.float32)
+    for cc in range(c):
+        xi_c = q_ref[0, pl.ds(i0, ti), cc].reshape(ti, 1)
+        xj_c = pts_ref[0, cc, pl.ds(s, W)].reshape(1, W)
+        d = xi_c - xj_c
+        ranking = ranking + d * d
+    if has_mask:
+        mi = qm_ref[0, 0, pl.ds(i0, ti)].reshape(ti, 1)
+        mj = pm_ref[0, 0, pl.ds(s, W)].reshape(1, W)
+        ranking = jnp.where((mi * mj) > 0, ranking, MASKED_RANK_FILL)
+    if n != n_real:
+        ranking = jnp.where(col_g >= n_real, _PAD_FILL, ranking)
+
+    ids_b = jnp.broadcast_to(
+        ids_ref[0, 0, pl.ds(s, W)].reshape(1, W), (ti, W))
+    big = jnp.int32(2**30)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(ranking, axis=1, keepdims=True)
+        pid = jnp.min(jnp.where(ranking == m, ids_b, big), axis=1,
+                      keepdims=True)
+        vals.append(m)
+        idxs.append(pid)
+        ranking = jnp.where((ranking == m) & (ids_b == pid), _EVICT_FILL,
+                            ranking)
+    out_vals_ref[0, :, :] = jnp.concatenate(vals, axis=1)
+    out_idx_ref[0, :, :] = jnp.concatenate(idxs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "W", "interpret",
+                                             "has_mask"))
+def _knn_window_call(queries, ranks, points_sorted, p_mask_sorted, orig_ids,
+                     *, k, W, interpret, has_mask):
+    b, r_real, c = queries.shape
+    n_real = points_sorted.shape[1]
+    n = -(-n_real // _LANE) * _LANE
+    ti = _pick_ti_window(W, n, r_real)
+    r = -(-r_real // ti) * ti
+    q32 = queries.astype(jnp.float32)
+    ranks = ranks.astype(jnp.int32)
+    if r != r_real:
+        q32 = jnp.pad(q32, ((0, 0), (0, r - r_real), (0, 0)))
+        ranks = jnp.pad(ranks, ((0, 0), (0, r - r_real)), mode="edge")
+    pts = points_sorted.astype(jnp.float32)
+    ids = orig_ids.astype(jnp.int32)
+    if n != n_real:
+        pts = jnp.pad(pts, ((0, 0), (0, n - n_real), (0, 0)))
+        ids = jnp.pad(ids, ((0, 0), (0, n - n_real)),
+                      constant_values=n_real)
+    ids = ids[:, None, :]          # (b, 1, n) plane for the kernel
+    pts_t = jnp.swapaxes(pts, 1, 2)
+    if has_mask:
+        qm = jnp.ones((b, 1, r), jnp.int32)  # repair queries are valid rows
+        pm = jnp.pad(p_mask_sorted.astype(jnp.int32),
+                     ((0, 0), (0, n - n_real)))[:, None, :]
+    else:
+        qm = jnp.zeros((b, 1, r), jnp.int32)
+        pm = jnp.zeros((b, 1, n), jnp.int32)
+
+    # per-tile window start (lane-tile units), centered on the tile's middle
+    # row's x-rank; clipped into the padded array
+    mid = ranks[:, ti // 2::ti][:, : r // ti]              # (b, r//ti)
+    starts = jnp.clip(mid - W // 2, 0, n - W) // _LANE
+    starts = starts.astype(jnp.int32)
+
+    grid = (b, r // ti)
+    kernel = functools.partial(
+        _knn_window_kernel, W=W, n=n, n_real=n_real, k=k, c=c, ti=ti,
+        has_mask=has_mask)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, c), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda ib, ii: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, r, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, q32, qm, pts_t, pm, ids)
+
+    # per-row x-margin for the caller's certificate: window edge VALUES are
+    # conservative bounds on the nearest out-of-window x (edges lie inside)
+    x_sorted = pts[:, :, 0]                                # (b, n)
+    s_el = starts * _LANE                                  # (b, r//ti)
+    x_lo_t = jnp.take_along_axis(x_sorted, s_el, axis=1)
+    x_hi_t = jnp.take_along_axis(x_sorted, s_el + (W - 1), axis=1)
+    nv = (p_mask_sorted.sum(axis=1).astype(jnp.int32)[:, None]
+          if has_mask else jnp.full((b, 1), n_real, jnp.int32))
+    inf = jnp.float32("inf")
+    lo_inf = s_el == 0
+    hi_inf = (s_el + W) >= nv
+    rep = r // ti
+    x_lo = jnp.repeat(x_lo_t, ti, axis=1)[:, :r_real]
+    x_hi = jnp.repeat(x_hi_t, ti, axis=1)[:, :r_real]
+    lo_inf = jnp.repeat(lo_inf, ti, axis=1)[:, :r_real]
+    hi_inf = jnp.repeat(hi_inf, ti, axis=1)[:, :r_real]
+    del rep
+    qx = q32[:, :r_real, 0]
+    m_lo = jnp.where(lo_inf, inf, qx - x_lo)
+    m_hi = jnp.where(hi_inf, inf, x_hi - qx)
+    margin = jnp.maximum(jnp.minimum(m_lo, m_hi), 0.0)
+    margin = margin * jnp.float32(1.0 - 1e-4)   # f32 arithmetic shave
+    return vals[:, :r_real], idx[:, :r_real], margin
+
+
+def knn_select_window_pallas(
+    queries: jnp.ndarray,          # (b, R, c) — VALID rows only
+    ranks: jnp.ndarray,            # (b, R) int: each query's x-sort rank
+    points_sorted: jnp.ndarray,    # (b, n, c) sorted ascending by x
+    orig_ids: jnp.ndarray,         # (b, n) original index of each sorted row
+    k: int,
+    W: int,                        # static window width (multiple of 128)
+    p_mask_sorted: Optional[jnp.ndarray] = None,  # (b, n) sorted point mask
+    interpret: bool = False,
+):
+    """Windowed exact kNN of query rows against x-sorted points.
+
+    Returns ``(vals, idx, margin)``: (b, R, k) ranking values and ORIGINAL
+    indices, plus the per-row conservative x-margin. Rows with
+    ``vals[:, k-1] < margin**2`` (and, under a mask, ``< 1e5``) are
+    certified exact vs the full masked selection — indices and tie order
+    bitwise lax.top_k's, values exact up to XLA FMA discretion. Queries
+    must be valid (unmasked) rows; masked points are excluded by fill.
+    For best window coverage sort the queries by rank so tile neighbors
+    share windows."""
+    return _knn_window_call(
+        queries, ranks, points_sorted, p_mask_sorted, orig_ids,
+        k=k, W=W, interpret=interpret, has_mask=p_mask_sorted is not None,
+    )
 
 
 def knn_select_queries_pallas(

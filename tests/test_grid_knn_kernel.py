@@ -245,3 +245,109 @@ def test_grid_repair_path_is_exact_on_clustered_clouds(with_mask):
                                   np.asarray(ref.indices))
     np.testing.assert_allclose(np.asarray(got.ranking),
                                np.asarray(ref.ranking), rtol=1e-6, atol=1e-6)
+
+
+def test_window_kernel_full_width_matches_exact_rows():
+    """Windowed repair kernel with a full-width window: every row's margin
+    is infinite (both window ends at the array boundary), so every row is
+    certified and must match the exact selection bitwise (indices/ties;
+    values at the FMA tolerance)."""
+    from egnn_tpu.ops.pallas.knn import knn_select_window_pallas
+
+    key = jax.random.PRNGKey(17)
+    b, n, k, R = 2, 256, 6, 64
+    coors = jax.random.normal(key, (b, n, 3), jnp.float32) * 3.0
+    mask = jax.random.uniform(jax.random.PRNGKey(18), (b, n)) > 0.15
+    for m in (None, mask):
+        c32 = coors.astype(jnp.float32)
+        xkey = jnp.where(m, c32[..., 0], jnp.float32("inf")) if m is not None \
+            else c32[..., 0]
+        order = jnp.argsort(xkey, axis=1).astype(jnp.int32)
+        pts_s = jnp.take_along_axis(c32, order[..., None], axis=1)
+        pm_s = jnp.take_along_axis(m, order, axis=1) if m is not None else None
+        rank = jax.vmap(lambda oo: jnp.zeros((n,), jnp.int32).at[oo].set(
+            jnp.arange(n, dtype=jnp.int32)))(order)
+        # queries: VALID rows only (the repair contract)
+        valid = jnp.ones((b, n), bool) if m is None else m
+        _, fidx = jax.lax.top_k(valid.astype(jnp.float32), R)
+        q = jnp.take_along_axis(c32, fidx[..., None], axis=1)
+        qranks = jnp.take_along_axis(rank, fidx, axis=1)
+        rv, ri, margin = jax.jit(lambda qq, rr, pp: knn_select_window_pallas(
+            qq, rr, pp, order, k, n, p_mask_sorted=pm_s, interpret=True))(
+                q, qranks, pts_s)
+        assert bool(jnp.all(jnp.isinf(margin))), "full window => inf margins"
+        ref = knn_select(coors, k, float("inf"), mask=m)
+        ev = jnp.take_along_axis(ref.ranking, fidx[..., None], axis=1)
+        ei = jnp.take_along_axis(ref.indices, fidx[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(ev),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_window_kernel_partial_window_certificate():
+    """Partial (W = n/4) windows: rows the margin certificate accepts must
+    match the exact selection bitwise; the certificate must actually accept
+    a nontrivial share (clustered queries near their own x-neighborhood)."""
+    from egnn_tpu.ops.pallas.knn import knn_select_window_pallas
+
+    b, n, k, W = 1, 2048, 8, 512
+    coors = jax.random.normal(jax.random.PRNGKey(19), (b, n, 3),
+                              jnp.float32)  # unit Gaussian: tight kNN radii
+    c32 = coors.astype(jnp.float32)
+    order = jnp.argsort(c32[..., 0], axis=1).astype(jnp.int32)
+    pts_s = jnp.take_along_axis(c32, order[..., None], axis=1)
+    rank = jax.vmap(lambda oo: jnp.zeros((n,), jnp.int32).at[oo].set(
+        jnp.arange(n, dtype=jnp.int32)))(order)
+    R = 256
+    fidx = jax.lax.top_k(
+        jax.random.uniform(jax.random.PRNGKey(20), (b, n)), R)[1]
+    # sort the bucket by x-rank (the dispatch does the same) so tile
+    # windows cover their rows
+    qranks_all = jnp.take_along_axis(rank, fidx, axis=1)
+    ordq = jnp.argsort(qranks_all, axis=1)
+    fidx = jnp.take_along_axis(fidx, ordq, axis=1)
+    q = jnp.take_along_axis(c32, fidx[..., None], axis=1)
+    qranks = jnp.take_along_axis(rank, fidx, axis=1)
+    rv, ri, margin = knn_select_window_pallas(
+        q, qranks, pts_s, order, k, W, interpret=True)
+    cert = np.asarray(rv[:, :, k - 1] < margin * margin)
+    assert cert.mean() > 0.5, f"certificate pass rate too low: {cert.mean()}"
+    ref = knn_select(coors, k, float("inf"))
+    ev = np.asarray(jnp.take_along_axis(ref.ranking, fidx[..., None], axis=1))
+    ei = np.asarray(jnp.take_along_axis(ref.indices, fidx[..., None], axis=1))
+    np.testing.assert_array_equal(np.asarray(ri)[cert], ei[cert])
+    np.testing.assert_allclose(np.asarray(rv)[cert], ev[cert],
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_windowed_repair_dispatch_exact_on_clustered_clouds(with_mask):
+    """End-to-end grid dispatch with the tier-0 WINDOWED repair engaged
+    (gate lowered for CPU): clustered cloud, some rows fail row-level
+    certification, the windowed tier repairs them, and the merged result
+    must equal the exact selection bit-for-bit."""
+    from egnn_tpu.ops import neighbors as nbm
+
+    b, n, k = 1, 1024, 8
+    coors = jax.random.normal(jax.random.PRNGKey(21), (b, n, 3),
+                              jnp.float32) * 10.0
+    mask = (jax.random.uniform(jax.random.PRNGKey(22), (b, n)) > 0.1
+            if with_mask else None)
+    from egnn_tpu.ops.spatial import grid_knn_select
+    _, _, ok, row_exact = grid_knn_select(coors, k, mask=mask)
+    n_bad = int(jnp.sum(~row_exact))
+    assert not bool(ok) and 0 < n_bad <= max(128, n // 8), (
+        f"fixture must exercise the repair bucket (n_bad={n_bad})")
+
+    old = nbm._WINDOW_REPAIR_MIN_N
+    try:
+        nbm._WINDOW_REPAIR_MIN_N = 0
+        got = knn_select(coors, k, float("inf"), mask=mask, backend="grid",
+                         interpret=True)
+    finally:
+        nbm._WINDOW_REPAIR_MIN_N = old
+    ref = knn_select(coors, k, float("inf"), mask=mask)
+    np.testing.assert_array_equal(np.asarray(got.indices),
+                                  np.asarray(ref.indices))
+    np.testing.assert_allclose(np.asarray(got.ranking),
+                               np.asarray(ref.ranking), rtol=1e-6, atol=1e-6)

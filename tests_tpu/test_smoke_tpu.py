@@ -72,6 +72,35 @@ def test_knn_select_tie_order_on_chip():
     np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
 
 
+def test_fused_select_gather_bitwise_on_chip():
+    """The fused selection+payload-gather kernel (round 5, the auto default
+    at flagship sizes) must be BITWISE identical to select + gather_nodes on
+    hardware: indices/vals (pure f32 VPU both sides) and the payload rows
+    (one-hot MXU extraction under HIGHEST — the exactness claim this test
+    pins; a DEFAULT-precision regression would show as bf16 rounding)."""
+    from egnn_tpu.ops.core import gather_nodes
+    from egnn_tpu.ops.pallas.knn import (knn_select_gather_pallas,
+                                         knn_select_pallas)
+
+    n, k, w = 1024, 8, 32
+    coors = _rand((2, n, 3), seed=21, scale=3.0)
+    feats = _rand((2, n, w), seed=22)
+    mask = jax.random.bernoulli(jax.random.PRNGKey(23), 0.9, (2, n))
+    ar = jnp.arange(n)
+    adj = jnp.broadcast_to(jnp.abs(ar[:, None] - ar[None, :]) == 1, (2, n, n))
+    table = jnp.concatenate(
+        [coors, mask[..., None].astype(jnp.float32), feats], axis=-1)
+
+    v0, i0 = jax.jit(lambda c: knn_select_pallas(
+        c, k, mask=mask, adj_mat=adj))(coors)
+    g0 = jax.jit(gather_nodes)(table, i0)
+    v1, i1, g1 = jax.jit(lambda c, t: knn_select_gather_pallas(
+        c, k, t, mask=mask, adj_mat=adj))(coors, table)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+
 def test_knn_packed_tiled_auto_dispatch_on_chip():
     # n beyond the full-band VMEM reach: auto dispatch = packed-tiled
     # candidates + exact refine (+ certificate fallback). Compare against the
