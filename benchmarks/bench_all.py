@@ -74,6 +74,35 @@ def config3_flagship():
                 edges_per_s=round(n * k_ * depth / t))
 
 
+def config3_saturated(batch=8):
+    """VERDICT r4 item 7: the flagship config is latency/index-bound at
+    b=1; this arm records edges/s/chip at batch saturation (same n=1024
+    kNN=8 depth-3 network, b=8) so the framework's throughput CEILING is
+    on record, not just its small-model latency. Not a driver metric."""
+    from egnn_tpu.training.data import synthetic_chain_batch
+
+    n, k_, depth = 1024, 8, 3
+    key = jax.random.PRNGKey(0)
+    b = synthetic_chain_batch(key, batch, n)
+    net = EGNNNetwork(depth=depth, dim=32, num_tokens=21, num_positions=n,
+                      layer_kwargs=dict(num_nearest_neighbors=k_,
+                                        norm_coors=True,
+                                        coor_weights_clamp_value=2.0))
+    params = jax.jit(net.init)(key, b.tokens, b.noised_coors,
+                               adj_mat=b.adj_mat, mask=b.mask)["params"]
+
+    def loss(co):
+        f, d_ = net.apply({"params": params}, b.tokens, co,
+                          adj_mat=b.adj_mat, mask=b.mask)
+        return ((d_ - b.clean_coors) ** 2).mean()
+
+    t = measure_op(lambda co: jax.value_and_grad(loss)(co), b.noised_coors,
+                   20, 80)
+    return dict(name=f"anchor3_saturated_b{batch}_n1024_knn8_depth3",
+                fwd_bwd_us=round(t * 1e6, 1),
+                edges_per_s=round(batch * n * k_ * depth / t))
+
+
 def config4_only_sparse():
     n, depth = 512, 2
     key = jax.random.PRNGKey(0)
@@ -146,7 +175,8 @@ def main():
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
     results = []
     for fn in (lambda: config1_layer(0), lambda: config1_layer(4),
-               config3_flagship, config4_only_sparse, config5_sparse_molecules):
+               config3_flagship, config3_saturated, config4_only_sparse,
+               config5_sparse_molecules):
         r = fn()
         results.append(r)
         print(json.dumps(r))

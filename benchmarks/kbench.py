@@ -164,6 +164,158 @@ def bench_fused_uniform_sparse(n=1024, k=8, d=64):
     return out
 
 
+def bench_grid_selection(n=16384, k=16, reps=(20, 80)):
+    """Round-4 grid-blocked selection kernel (certified path) vs the exact
+    quadratic kernels. Binding engine: VPU ops over the (n, 27*M_CAP)
+    candidate band (the point of the kernel is that this band is ~27*128
+    wide instead of n — op model below), plus the cell-table build."""
+    from egnn_tpu.ops.pallas.grid_knn import (M_CAP, grid_knn_select_pallas,
+                                              supports_grid_knn)
+
+    if not supports_grid_knn(n, k):
+        return []
+    rng = np.random.RandomState(1)
+    coors = jnp.asarray(rng.rand(1, n, 3).astype(np.float32) * 20.0)
+    C = 27 * M_CAP
+    flops = n * C * (3 * 3 + 4 * k)          # dist build + k extraction
+    bytes_ = (n * C * 3 + n * 4) * 4         # candidate reads + tables
+    lo, hi = reps
+    t = measure_op(lambda x: grid_knn_select_pallas(x, k)[:2], coors,
+                   reps_lo=lo, reps_hi=hi)
+    return [Roofline(f"grid_select[n={n},k={k}]", t, flops=flops,
+                     bytes_accessed=bytes_)]
+
+
+def bench_query_repair(n=16384, k=16, reps=(20, 80)):
+    """Round-4 asymmetric query-vs-points repair kernel (R = n/16 bucket,
+    full scan) and the round-5 WINDOWED variant (W = n/4 x-sorted window).
+    Binding engine: VPU ops over the (R, n) / (R, W) bands."""
+    from egnn_tpu.ops.pallas.knn import (knn_select_queries_pallas,
+                                         knn_select_window_pallas,
+                                         supports_pallas_knn_queries,
+                                         supports_pallas_knn_window)
+
+    out = []
+    if not supports_pallas_knn_queries(n):
+        return out
+    R = max(128, n // 16)
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.randn(1, n, 3).astype(np.float32))
+    q = pts[:, :R]
+    lo, hi = reps
+    t = measure_op(lambda x: knn_select_queries_pallas(x, pts, k)[0].sum(),
+                   q, reps_lo=lo, reps_hi=hi)
+    out.append(Roofline(f"repair_fullscan[R={R},n={n},k={k}]", t,
+                        flops=R * n * (3 * 3 + 4 * k),
+                        bytes_accessed=(R + n) * 3 * 4))
+    W = min(-(-(n // 4) // 128) * 128, n)
+    if supports_pallas_knn_window(n, W):
+        order = jnp.argsort(pts[..., 0], axis=1).astype(jnp.int32)
+        pts_s = jnp.take_along_axis(pts, order[..., None], axis=1)
+        rank = jax.vmap(lambda oo: jnp.zeros((n,), jnp.int32).at[oo].set(
+            jnp.arange(n, dtype=jnp.int32)))(order)
+        qranks = jnp.sort(rank[:, :R], axis=1)
+        qs = jnp.take_along_axis(
+            pts_s, jnp.sort(qranks, axis=1)[..., None], axis=1)
+        t2 = measure_op(
+            lambda x: knn_select_window_pallas(
+                x, qranks, pts_s, order, k, W)[0].sum(),
+            qs, reps_lo=lo, reps_hi=hi)
+        out.append(Roofline(f"repair_window[R={R},W={W},k={k}]", t2,
+                            flops=R * W * (3 * 3 + 4 * k),
+                            bytes_accessed=(R + n) * 3 * 4))
+    return out
+
+
+def bench_gather_rows_blocked(G=32, NA=32, K=8, D=64, reps=(100, 500)):
+    """Round-4b block-local one-hot MXU gather (uniform_graph_size) vs the
+    plain row gather, fwd+bwd. Binding: HBM for the plain gather (random
+    rows); the blocked variant trades index-bound gathers for MXU flops
+    (2*E*NA*D per one-hot matmul, bit-exact under HIGHEST)."""
+    from egnn_tpu.ops.core import gather_rows, gather_rows_blocked
+
+    rng = np.random.RandomState(3)
+    N, E = G * NA, G * NA * K
+    vals = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    local = rng.randint(0, NA, size=(G, E // G))
+    idx = jnp.asarray(
+        (local + np.arange(G)[:, None] * NA).reshape(-1).astype(np.int32))
+    lo, hi = reps
+    out = []
+    for name, f in (
+        ("gather_rows_plain",
+         lambda v: jax.grad(lambda vv: (gather_rows(vv, idx) ** 2).sum())(v)),
+        ("gather_rows_blocked",
+         lambda v: jax.grad(lambda vv: (
+             gather_rows_blocked(vv, idx, G, NA) ** 2).sum())(v)),
+    ):
+        t = measure_op(f, vals, reps_lo=lo, reps_hi=hi)
+        out.append(Roofline(
+            f"{name}[E={E},D={D}]", t,
+            flops=2 * 2 * E * NA * D if "blocked" in name else E * D,
+            bytes_accessed=2 * 2 * E * D * 4,
+        ))
+    return out
+
+
+def bench_uniform_layernorm(G=32, NA=32, D=64, reps=(100, 500)):
+    """Round-4b reshape-stat graph LayerNorm (uniform_size) vs the general
+    segment-scatter path, fwd+bwd. Binding: HBM streaming either way; the
+    uniform path removes the per-node stat gathers (index-bound class)."""
+    from egnn_tpu.ops.segment import graph_layer_norm
+
+    rng = np.random.RandomState(4)
+    N = G * NA
+    x = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    batch = jnp.repeat(jnp.arange(G, dtype=jnp.int32), NA)
+    gamma = jnp.ones((D,))
+    beta = jnp.zeros((D,))
+    lo, hi = reps
+    out = []
+    for name, us in (("graph_ln_general", None), ("graph_ln_uniform", NA)):
+        def f(v, us=us):
+            return jax.grad(lambda vv: (graph_layer_norm(
+                vv, batch, G, gamma, beta, uniform_size=us) ** 2).sum())(v)
+        t = measure_op(f, x, reps_lo=lo, reps_hi=hi)
+        out.append(Roofline(f"{name}[N={N},D={D}]", t,
+                            flops=6 * N * D,
+                            bytes_accessed=4 * N * D * 4))
+    return out
+
+
+def bench_fused_select_gather(n=1024, k=8, d=32, reps=(100, 500)):
+    """Round-5 fused selection + in-kernel payload gather vs select + XLA
+    gather (forward) — the layer-level fwd+bwd decision lives in
+    benchmarks/ab_fused_gather.py; these are the op-level roofline rows."""
+    from egnn_tpu.ops.core import gather_nodes
+    from egnn_tpu.ops.pallas.knn import (knn_select_gather_pallas,
+                                         knn_select_pallas,
+                                         supports_pallas_knn_gather)
+
+    tw = 3 + 1 + d
+    if not supports_pallas_knn_gather(n, tw, k):
+        return []
+    rng = np.random.RandomState(5)
+    coors = jnp.asarray(rng.randn(1, n, 3).astype(np.float32))
+    table = jnp.asarray(rng.randn(1, n, tw).astype(np.float32))
+    lo, hi = reps
+    out = []
+    t1 = measure_op(
+        lambda x: gather_nodes(table, knn_select_pallas(x, k)[1]).sum(),
+        coors, reps_lo=lo, reps_hi=hi)
+    out.append(Roofline(f"select+xla_gather[n={n},k={k},tw={tw}]", t1,
+                        flops=n * n * (9 + 4 * k),
+                        bytes_accessed=(n * tw + n * k * tw) * 4))
+    t2 = measure_op(
+        lambda x: knn_select_gather_pallas(x, k, table)[2].sum(),
+        coors, reps_lo=lo, reps_hi=hi)
+    out.append(Roofline(
+        f"fused_select_gather[n={n},k={k},tw={tw}]", t2,
+        flops=n * n * (9 + 4 * k) + 2 * n * n * k * tw,  # + one-hot matmuls
+        bytes_accessed=(n * tw + n * k * tw) * 4))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -180,6 +332,11 @@ def main():
         results += bench_stream_layer()
         results += bench_fused_vs_xla_pair_pipeline()
         results += bench_fused_uniform_sparse()
+        results += bench_grid_selection()
+        results += bench_query_repair()
+        results += bench_gather_rows_blocked()
+        results += bench_uniform_layernorm()
+        results += bench_fused_select_gather()
     for r in results:
         print(r.report())
 
