@@ -19,9 +19,14 @@ torch PP framework):
 - per-microbatch aux inputs (mask) are replicated and indexed by the
   stage's current microbatch id; kNN selection happens inside the layers
   from the in-flight coordinates, so nothing else travels;
-- collection: the last stage's outputs for ticks ≥ S-1 are psum-broadcast
-  (masked to the last stage) so every device returns the full (M, ...)
-  result — one psum, after which the caller's loss is replicated.
+- collection (round-5 restructure): the last stage deposits each drained
+  microbatch into an (M, ...) in-scan accumulator — collection memory is
+  exactly the result, not the old (T = M+S-1, ...) full tick stack on
+  every device — and one psum replicates it. For TRAINING, prefer
+  ``pipeline_loss``/``make_pipelined_loss``: the last stage folds each
+  microbatch's loss into a scalar at its drain tick, so collection is
+  O(1) memory and ONE scalar psum instead of an (M, mb, n, ·) broadcast
+  — the profile that matters in PP's actual regime (deep stacks).
 
 Autodiff goes straight through (ppermute's transpose is the reverse
 permute; the scan transposes into the reverse schedule), so
@@ -93,7 +98,7 @@ def pipeline_apply(
         return f, c
 
     def tick(carry, t):
-        f_in, c_in = carry
+        f_in, c_in, f_acc, c_acc = carry
         m_id = jnp.clip(t - d_idx, 0, M - 1)
         # stage 0 pulls a fresh microbatch; others consume the ppermuted
         # activation from the previous stage (bubble ticks recompute a
@@ -102,19 +107,135 @@ def pipeline_apply(
         c = jnp.where(d_idx == 0, coors_mb[jnp.clip(t, 0, M - 1)], c_in)
         m = mask_mb[m_id] if mask_mb is not None else None
         fo, co = stage_fn(f, c, m)
+        # collection: the LAST stage deposits microbatch t-(S-1) into the
+        # (M, ...) accumulator (round-4 verdict: the old version stacked
+        # ALL T = M+S-1 tick outputs on EVERY stage — (S-1) extra
+        # microbatch slots of dead activation memory per device, all of it
+        # then pushed through the psum; the accumulator keeps collection
+        # memory at exactly the (M, ...) result and non-last stages'
+        # accumulators stay zero). Branch-free: non-write ticks rewrite
+        # the slot with itself (SPMD requires the identical program).
+        m_out = t - (S - 1)
+        write = (d_idx == S - 1) & (m_out >= 0)
+        mo = jnp.clip(m_out, 0, M - 1)
+        f_slot = jnp.where(write, fo, jax.lax.dynamic_index_in_dim(
+            f_acc, mo, 0, keepdims=False))
+        c_slot = jnp.where(write, co, jax.lax.dynamic_index_in_dim(
+            c_acc, mo, 0, keepdims=False))
+        f_acc = jax.lax.dynamic_update_index_in_dim(f_acc, f_slot, mo, 0)
+        c_acc = jax.lax.dynamic_update_index_in_dim(c_acc, c_slot, mo, 0)
         nxt = jax.tree.map(
             lambda x: jax.lax.ppermute(x, axis_name, perm), (fo, co))
-        return nxt, (fo, co)
+        return (nxt[0], nxt[1], f_acc, c_acc), None
 
-    init = (jnp.zeros_like(feats_mb[0]), jnp.zeros_like(coors_mb[0]))
-    _, (f_ticks, c_ticks) = jax.lax.scan(tick, init, jnp.arange(T))
+    init = (jnp.zeros_like(feats_mb[0]), jnp.zeros_like(coors_mb[0]),
+            jnp.zeros_like(feats_mb), jnp.zeros_like(coors_mb))
+    (_, _, f_acc, c_acc), _ = jax.lax.scan(tick, init, jnp.arange(T))
 
-    # last stage's ticks S-1 .. T-1 hold microbatches 0 .. M-1
-    is_last = (d_idx == S - 1).astype(f_ticks.dtype)
-    f_out = jax.lax.psum(f_ticks[S - 1:] * is_last, axis_name)
-    c_out = jax.lax.psum(c_ticks[S - 1:] * is_last.astype(c_ticks.dtype),
-                         axis_name)
+    # only the last stage's accumulator is nonzero: one psum replicates it
+    f_out = jax.lax.psum(f_acc, axis_name)
+    c_out = jax.lax.psum(c_acc, axis_name)
     return f_out, c_out
+
+
+def pipeline_loss(
+    layer,
+    stage_params,            # (1, L_local, ...) pytree — THIS device's block
+    feats_mb: jnp.ndarray,   # (M, mb, n, d)
+    coors_mb: jnp.ndarray,   # (M, mb, n, c)
+    loss_fn: Callable,       # (feats, coors, target, mask|None) -> scalar MEAN
+    target_mb: jnp.ndarray,  # (M, mb, n, c) per-microbatch targets
+    mask_mb: Optional[jnp.ndarray] = None,
+    adj_mat: Optional[jnp.ndarray] = None,
+    *,
+    axis_name: str = "pipe",
+):
+    """Streaming-loss pipeline: the last stage folds each microbatch's loss
+    into a SCALAR accumulator at the tick it drains, so collection costs
+    O(1) memory and ONE scalar psum — instead of materializing and
+    broadcasting the full (M, mb, n, ·) output stack. This is the profile
+    that matters in PP's actual regime (deep stacks, where the (M, ...)
+    output broadcast of :func:`pipeline_apply` is pure training overhead).
+    Returns the replicated mean-over-microbatches loss; autodiff yields
+    per-stage param grads sharded like the params."""
+    S = jax.lax.axis_size(axis_name)
+    d_idx = jax.lax.axis_index(axis_name)
+    M = feats_mb.shape[0]
+    T = M + S - 1
+    perm = [(s, s + 1) for s in range(S - 1)]
+
+    def stage_fn(f, c, m):
+        def body(fc, p):
+            fo, co = layer.apply({"params": p}, fc[0], fc[1],
+                                 mask=m, adj_mat=adj_mat)
+            return (fo, co), None
+        (f, c), _ = jax.lax.scan(
+            body, (f, c), jax.tree.map(lambda x: x[0], stage_params))
+        return f, c
+
+    def tick(carry, t):
+        f_in, c_in, acc = carry
+        m_id = jnp.clip(t - d_idx, 0, M - 1)
+        f = jnp.where(d_idx == 0, feats_mb[jnp.clip(t, 0, M - 1)], f_in)
+        c = jnp.where(d_idx == 0, coors_mb[jnp.clip(t, 0, M - 1)], c_in)
+        m = mask_mb[m_id] if mask_mb is not None else None
+        fo, co = stage_fn(f, c, m)
+        m_out = t - (S - 1)
+        write = (d_idx == S - 1) & (m_out >= 0)
+        mo = jnp.clip(m_out, 0, M - 1)
+        mb_loss = loss_fn(fo, co, target_mb[mo],
+                          mask_mb[mo] if mask_mb is not None else None)
+        acc = acc + jnp.where(write, mb_loss, jnp.zeros_like(mb_loss))
+        nxt = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), (fo, co))
+        return (nxt[0], nxt[1], acc), None
+
+    init = (jnp.zeros_like(feats_mb[0]), jnp.zeros_like(coors_mb[0]),
+            jnp.zeros((), feats_mb.dtype))
+    (_, _, acc), _ = jax.lax.scan(tick, init, jnp.arange(T))
+    return jax.lax.psum(acc, axis_name) / M
+
+
+def make_pipelined_loss(
+    layer,
+    mesh,
+    n_microbatches: int,
+    loss_fn: Callable,
+    *,
+    axis_name: str = "pipe",
+) -> Callable:
+    """Jitted streaming-loss pipeline over ``mesh``: returns
+    ``loss(stage_params, feats, coors, target, mask=None, adj_mat=None)``
+    — the mean per-microbatch ``loss_fn`` (same scalar the sequential
+    stack's batch-mean loss gives when ``loss_fn`` is a mean and the batch
+    splits evenly). Differentiate it directly for per-stage sharded
+    gradients."""
+    from jax.sharding import PartitionSpec as P
+
+    M = n_microbatches
+
+    def apply(stage_params, feats, coors, target, mask=None, adj_mat=None):
+        b = feats.shape[0]
+        assert b % M == 0, f"batch {b} not divisible by {M} microbatches"
+        mb = b // M
+        f_mb = feats.reshape(M, mb, *feats.shape[1:])
+        c_mb = coors.reshape(M, mb, *coors.shape[1:])
+        t_mb = target.reshape(M, mb, *target.shape[1:])
+        m_mb = (mask.reshape(M, mb, *mask.shape[1:])
+                if mask is not None else None)
+
+        def run(sp, f, c, tt, m, a):
+            return pipeline_loss(layer, sp, f, c, loss_fn, tt, m, a,
+                                 axis_name=axis_name)
+
+        return jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(axis_name), P(), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(stage_params, f_mb, c_mb, t_mb, m_mb, adj_mat)
+
+    return jax.jit(apply)
 
 
 def make_pipelined_apply(

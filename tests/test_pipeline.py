@@ -77,3 +77,47 @@ def test_pipeline_stage_param_shapes():
     st = to_stages(stacked, S)
     leaf = jax.tree_util.tree_leaves(st)[0]
     assert leaf.shape[:2] == (S, DEPTH // S)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_pipeline_streaming_loss_parity(use_mask):
+    """Round-5 streaming-loss collection (scalar accumulator, one scalar
+    psum): must equal the sequential stack's mean-over-microbatches loss,
+    with matching per-stage param grads and input grads."""
+    from egnn_tpu.parallel.pipeline import make_pipelined_loss
+
+    layer, stacked, feats, coors, msk = _setup(use_mask)
+    target = coors + 0.1
+
+    def mb_loss(fo, co, tgt, m):
+        err = (co - tgt) ** 2
+        if m is not None:
+            err = err * m[..., None]
+        return err.mean() + (fo ** 2).mean()
+
+    pl_loss = make_pipelined_loss(layer, _mesh(), M, mb_loss)
+
+    def loss_seq(p, f, c):
+        # sequential reference: mean of per-microbatch losses
+        mb = f.shape[0] // M
+        tot = 0.0
+        for i in range(M):
+            sl = slice(i * mb, (i + 1) * mb)
+            fo, co = _sequential(layer, p, f[sl], c[sl],
+                                 msk[sl] if msk is not None else None)
+            tot = tot + mb_loss(fo, co, target[sl],
+                                msk[sl] if msk is not None else None)
+        return tot / M
+
+    def loss_pp(p, f, c):
+        return pl_loss(to_stages(p, S), f, c, target, mask=msk)
+
+    lr, gr = jax.value_and_grad(loss_seq)(stacked, feats, coors)
+    lp, gp = jax.value_and_grad(loss_pp)(stacked, feats, coors)
+    np.testing.assert_allclose(lp, lr, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        gp, gr)
+    gi_r = jax.grad(loss_seq, argnums=2)(stacked, feats, coors)
+    gi_p = jax.grad(loss_pp, argnums=2)(stacked, feats, coors)
+    np.testing.assert_allclose(gi_p, gi_r, rtol=2e-4, atol=1e-6)
