@@ -122,3 +122,48 @@ for name, flag in [("default", False), ("fused", True)]:
     m(f"net depth-3 fwd+bwd coords [{name}]",
       jax.jit(lambda c: jax.grad(nloss)(c).sum()), coors, lo=50, hi=250)
 nb.FUSED_GATHER_AUTO = False
+
+# ---- 4. extraction-precision arms: split3 vs highest (round-5 lever) ----
+# split3 = three DEFAULT bf16-plane one-hot dots (3 MXU passes) instead of
+# one HIGHEST dot (6 passes); results are bitwise identical (gated below +
+# tests/test_pallas_knn.py::test_fused_gather_split3_bitwise). The fwd
+# one-hot matmuls measured ~62 us (6-pass MXU roofline) — the model says
+# split3 halves them. Decide at the LAYER level per the discipline.
+from egnn_tpu.ops.pallas import knn as KN
+
+print("\n-- extraction arms (fused kernel) --")
+v_s, i_s, g_s = jax.jit(lambda c, t: knn_select_gather_pallas(
+    c, K, t, mask=mask, adj_mat=adj, extract="split3"))(coors, table)
+assert np.array_equal(np.asarray(i1), np.asarray(i_s)), "split3 idx mismatch"
+assert np.array_equal(np.asarray(v1), np.asarray(v_s)), "split3 val mismatch"
+if not np.array_equal(np.asarray(g1), np.asarray(g_s)):
+    d = np.abs(np.asarray(g1) - np.asarray(g_s)).max()
+    raise AssertionError(f"split3 payload NOT bitwise on-chip (max |d|={d:.3e})")
+print("correctness gate: split3 == highest (bitwise, on-chip)")
+
+for ex in ("highest", "split3"):
+    m(f"fused select+gather kernel fwd [{ex}]",
+      jax.jit(lambda c: knn_select_gather_pallas(
+          c, K, table, mask=mask, adj_mat=adj, extract=ex)[2].sum()),
+      coors)
+
+for ex in ("highest", "split3"):
+    KN.FUSED_EXTRACT = ex
+    nb.FUSED_GATHER_AUTO = True
+
+    def loss2(c, f):
+        fo, co = layer.apply(p, f, c, mask=mask, adj_mat=adj)
+        return (fo ** 2).mean() + (co ** 2).mean()
+
+    m(f"layer fwd+bwd [fused/{ex}]",
+      jax.jit(lambda c: jax.grad(loss2, argnums=(0, 1))(c, feats)[0].sum()),
+      coors)
+
+    def nloss2(c):
+        f, co = net.apply(np_, tokens, c, adj_mat=adj, mask=mask)
+        return (co ** 2).mean()
+
+    m(f"net depth-3 fwd+bwd coords [fused/{ex}]",
+      jax.jit(lambda c: jax.grad(nloss2)(c).sum()), coors, lo=50, hi=250)
+KN.FUSED_EXTRACT = "highest"
+nb.FUSED_GATHER_AUTO = False

@@ -293,30 +293,58 @@ def knn_select_pallas(
 # autodiff graph. Bitwise identical to select+gather (on-chip gate).
 # Default via FUSED_GATHER_AUTO in ops/neighbors.py (layer-level discipline:
 # op-level timings were anti-predictive here — re-measure at the layer).
+#
+# EXTRACTION PRECISION (extract="split3"): Precision.HIGHEST on f32 MXU
+# inputs runs SIX bf16 passes (each operand split into 3 bf16 chunks, the
+# 6 significant cross terms accumulated) — and the measured 62 us one-hot
+# cost sits exactly at that 6-pass MXU roofline. But with a ONE-HOT left
+# operand only the 3 right-side chunks matter: 1.0 and 0.0 are exact in
+# bf16, so onehot@t_hi + onehot@t_mid + onehot@t_lo at DEFAULT precision
+# reproduces the f32 row BITWISE (v = hi+mid+lo is the exact 3-way bf16
+# decomposition of an f32 — 8+8+8 mantissa bits; each product 1.0*chunk
+# is exact in the f32 accumulator; (hi+mid) zeroes v's low bits so the
+# f32 adds are exact) at HALF the MXU passes. Caveat: chunks below the
+# bf16 subnormal threshold flush, so bitwise equality needs |v| >~ 1e-30
+# (payloads are coords/feats, O(1)). Parity: tests/test_pallas_knn.py
+# pins split3 == highest == plain gather bitwise (interpret + CPU), the
+# ab_fused_gather on-chip gate pins it on hardware.
+
+
+# Extraction method used when knn_select_gather_pallas gets extract=None.
+# Ships "highest" until the split3 arm measures a layer-level win on-chip
+# (benchmarks/ab_fused_gather.py) — flip here on the measured result.
+FUSED_EXTRACT = "highest"
 
 
 def supports_pallas_knn_gather(n: int, tw: int, k: int) -> bool:
     """VMEM model: the two (TI, n) f32 band buffers (ranking + col iota)
-    plus the lane-padded payload table, coordinate planes, and the
-    (TI, k*tw) output block, against a 14 MB bound (2 MB headroom for
-    Mosaic temporaries and lax.cond output placement — CLAUDE.md gotcha)."""
+    plus the lane-padded payload table (6 B/elem — the split3 extraction's
+    three bf16 planes; the f32 single-table variant uses less), coordinate
+    planes, and the (TI, k*tw) output block, against a 14 MB bound (2 MB
+    headroom for Mosaic temporaries and lax.cond output placement —
+    CLAUDE.md gotcha)."""
     n_pad = -(-n // _LANE) * _LANE
     tw_pad = -(-tw // _LANE) * _LANE
     ktw_pad = -(-(k * tw) // _LANE) * _LANE
     used = (
         2 * _LANE * n_pad * 4      # ranking band + col iota
-        + n_pad * tw_pad * 4       # payload table
+        + n_pad * tw_pad * 6       # payload table (3 bf16 planes)
         + 2 * n_pad * _LANE * 4    # coors + coors_t lane-padded planes
         + _LANE * ktw_pad * 4      # payload output block
     )
     return used <= 14 * 1024 * 1024
 
 
-def _knn_gather_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref, table_ref,
-                       out_vals_ref, out_idx_ref, out_pay_ref,
-                       *, n: int, n_real: int, k: int, c: int, ti: int,
-                       tw: int, has_mask: bool, has_adj: bool):
+def _knn_gather_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref, *refs,
+                       n: int, n_real: int, k: int, c: int, ti: int,
+                       tw: int, has_mask: bool, has_adj: bool,
+                       extract: str):
     del tw
+    if extract == "split3":
+        (t_hi_ref, t_mid_ref, t_lo_ref,
+         out_vals_ref, out_idx_ref, out_pay_ref) = refs
+    else:
+        table_ref, out_vals_ref, out_idx_ref, out_pay_ref = refs
     i0 = pl.program_id(1) * ti
     col = jax.lax.broadcasted_iota(jnp.int32, (ti, n), 1)
 
@@ -340,18 +368,35 @@ def _knn_gather_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref, table_ref,
     if n != n_real:
         ranking = jnp.where(col >= n_real, _PAD_FILL, ranking)
 
-    table = table_ref[0, :, :]
+    dims = (((1,), (0,)), ((), ()))
+    if extract == "split3":
+        planes = (t_hi_ref[0, :, :], t_mid_ref[0, :, :], t_lo_ref[0, :, :])
+    else:
+        table = table_ref[0, :, :]
     vals, idxs, pays = [], [], []
     for _ in range(k):
         m = jnp.min(ranking, axis=1, keepdims=True)
         pos = jnp.min(jnp.where(ranking == m, col, n), axis=1, keepdims=True)
-        onehot = (col == pos).astype(jnp.float32)
-        pay = jax.lax.dot_general(
-            onehot, table,
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        if extract == "split3":
+            # 3 DEFAULT bf16 passes == the HIGHEST 6-pass result bitwise
+            # for a one-hot left operand (see module note above).
+            onehot = (col == pos).astype(jnp.bfloat16)
+            hi, mid, lo = (
+                jax.lax.dot_general(
+                    onehot, p, dims,
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+                for p in planes
+            )
+            pay = (hi + mid) + lo
+        else:
+            onehot = (col == pos).astype(jnp.float32)
+            pay = jax.lax.dot_general(
+                onehot, table, dims,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         vals.append(m)
         idxs.append(pos)
         pays.append(pay)
@@ -364,10 +409,11 @@ def _knn_gather_kernel(coors_ref, coors_t_ref, mask_ref, adj_ref, table_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "interpret", "has_mask", "has_adj", "band_height"),
+    static_argnames=("k", "interpret", "has_mask", "has_adj", "band_height",
+                     "extract"),
 )
 def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
-                     has_adj, band_height=None):
+                     has_adj, band_height=None, extract="highest"):
     coors32, coors_t, mask_i32, adj_band, b, n_real, n, c = _prep_knn_inputs(
         coors, mask, adj_mat, has_mask, has_adj)
     tw = table.shape[-1]
@@ -376,10 +422,27 @@ def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
         table32 = jnp.pad(table32, ((0, 0), (0, n - n_real), (0, 0)))
     ti = _effective_ti(n, band_height)
 
+    if extract == "split3":
+        # Exact 3-way bf16 decomposition (t_hi + t_mid + t_lo == table32
+        # bitwise for |v| above the bf16 subnormal floor): the kernel's
+        # one-hot extraction then needs 3 DEFAULT passes, not HIGHEST's 6.
+        t_hi = table32.astype(jnp.bfloat16)
+        r1 = table32 - t_hi.astype(jnp.float32)
+        t_mid = r1.astype(jnp.bfloat16)
+        t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        table_inputs = [t_hi, t_mid, t_lo]
+    else:
+        table_inputs = [table32]
+    table_specs = [
+        pl.BlockSpec((1, n, tw), lambda ib, ii: (ib, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in table_inputs
+    ]
+
     grid = (b, n // ti)
     kernel = functools.partial(
         _knn_gather_kernel, n=n, n_real=n_real, k=k, c=c, ti=ti, tw=tw,
-        has_mask=has_mask, has_adj=has_adj,
+        has_mask=has_mask, has_adj=has_adj, extract=extract,
     )
     vals, idx, pay = pl.pallas_call(
         kernel,
@@ -397,7 +460,7 @@ def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
                 (lambda ib, ii: (ib, ii, 0)) if has_adj else (lambda ib, ii: (ib, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, n, tw), lambda ib, ii: (ib, 0, 0), memory_space=pltpu.VMEM),
+            *table_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, ti, k), lambda ib, ii: (ib, ii, 0), memory_space=pltpu.VMEM),
@@ -417,7 +480,7 @@ def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coors32, coors_t, mask_i32, adj_band, table32)
+    )(coors32, coors_t, mask_i32, adj_band, *table_inputs)
 
     return (
         vals[:, :n_real],
@@ -434,6 +497,7 @@ def knn_select_gather_pallas(
     adj_mat: Optional[jnp.ndarray] = None,
     interpret: bool = False,
     band_height: Optional[int] = None,
+    extract: Optional[str] = None,         # None -> FUSED_EXTRACT
 ):
     """Selection + payload gather in ONE kernel pass (forward only — the
     caller owns differentiation; ops/neighbors.py wraps this in a custom
@@ -441,11 +505,15 @@ def knn_select_gather_pallas(
 
     Returns ``(vals, idx, gathered)`` where gathered is (b, n, k, tw) — the
     table rows at the winning indices, bit-exact with
-    ``gather_nodes(table, idx)`` (one-hot extraction under HIGHEST)."""
+    ``gather_nodes(table, idx)`` (one-hot extraction: "highest" = one
+    HIGHEST dot, "split3" = three DEFAULT bf16-plane dots; identical
+    results, see the module note)."""
+    if extract is None:
+        extract = FUSED_EXTRACT
     return _knn_gather_call(
         coors, mask, adj_mat, table, k=k, interpret=interpret,
         has_mask=mask is not None, has_adj=adj_mat is not None,
-        band_height=band_height,
+        band_height=band_height, extract=extract,
     )
 
 

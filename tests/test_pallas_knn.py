@@ -294,6 +294,44 @@ def test_fused_gather_matches_jnp(with_mask, with_adj, n, k):
     )
 
 
+@pytest.mark.parametrize("with_mask,with_adj", [(False, False), (True, True)])
+def test_fused_gather_split3_bitwise(with_mask, with_adj):
+    """extract='split3' (three DEFAULT bf16-plane dots) must equal
+    extract='highest' (one HIGHEST dot) BITWISE: hi+mid+lo is the exact
+    3-way bf16 decomposition of f32, and a one-hot left operand makes the
+    3 remaining cross terms exact (ops/pallas/knn.py module note). Pinned
+    against the plain gather too, including scale extremes (1e-20..1e20
+    payload magnitudes exercise the decomposition across exponents)."""
+    from egnn_tpu.ops.pallas.knn import knn_select_gather_pallas
+
+    n, k = 256, 7
+    coors, mask, adj = _random_case(
+        hash(("split3", with_mask, with_adj)) % 2**31, 2, n, 3, k,
+        with_mask, with_adj,
+    )
+    rng = np.random.RandomState(11)
+    scale = 10.0 ** rng.uniform(-20, 20, size=(2, n, 1)).astype(np.float32)
+    payload = jnp.asarray(rng.randn(2, n, 6).astype(np.float32) * scale)
+    table = jnp.concatenate(
+        [coors] + ([mask[..., None].astype(coors.dtype)] if with_mask else [])
+        + [payload], axis=-1)
+
+    outs = {
+        e: knn_select_gather_pallas(
+            coors, k, table, mask=mask, adj_mat=adj, interpret=True,
+            extract=e)
+        for e in ("highest", "split3")
+    }
+    v_h, i_h, g_h = outs["highest"]
+    v_s, i_s, g_s = outs["split3"]
+    np.testing.assert_array_equal(np.asarray(i_h), np.asarray(i_s))
+    np.testing.assert_array_equal(np.asarray(v_h), np.asarray(v_s))
+    np.testing.assert_array_equal(np.asarray(g_h), np.asarray(g_s))
+    np.testing.assert_array_equal(
+        np.asarray(g_s),
+        np.asarray(jax.vmap(lambda t, i: t[i])(table, i_s)))
+
+
 def test_fused_gather_tie_pileup_exact():
     """Duplicate coordinates (massive tie groups): the fused kernel's
     extraction order must match lax.top_k's lowest-index tie order, and
