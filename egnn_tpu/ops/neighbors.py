@@ -570,6 +570,7 @@ def knn_select_gather(
                 return _repair
 
             r_small = min(n, max(128, n // 16))  # 128 = one lane tile
+            r_tiny = min(n, max(128, n // 64))   # window tier-up cascade
             r_big = min(n, max(256, n // 4))
 
             def _window_tier(_):
@@ -623,13 +624,35 @@ def knn_select_gather(
                 def _done(_):
                     return vv, ii
 
-                return jax.lax.cond(
-                    jnp.all(nbad2 == 0), _done,
-                    _repair_with(r_small, bad_map=still_bad,
-                                 base=(vv, ii)),
-                    None)
+                # Tier-up CASCADE: a single window-certificate failure must
+                # not re-pay the whole r_small full-scan bucket on top of
+                # the window pass (measured 65k Gaussian: that all-or-
+                # nothing cond put selection at 26.4 ms vs the pre-window
+                # 22.7). Window-failed rows are a thin margin sliver —
+                # re-rank them in an n/64 bucket (4x cheaper than r_small)
+                # and keep r_small only as the spill.
+                def _cascade(_):
+                    return jax.lax.cond(
+                        jnp.all(nbad2 <= r_tiny),
+                        _repair_with(r_tiny, bad_map=still_bad,
+                                     base=(vv, ii)),
+                        _repair_with(r_small, bad_map=still_bad,
+                                     base=(vv, ii)),
+                        None)
+
+                return jax.lax.cond(jnp.all(nbad2 == 0), _done, _cascade,
+                                    None)
 
             tier0 = _window_tier if can_window else _repair_with(r_small)
+
+            # PRE-tier: nbad <= r_tiny makes the direct tiny full-scan
+            # (r_tiny * n pair-ops) cost the same as the window pass
+            # (r_small * W = (n/16)(n/4) = r_tiny * n pair-ops) WITHOUT the
+            # x-sort/rank prep or any cascade risk — take it first.
+            def _tier0(_):
+                return jax.lax.cond(
+                    jnp.all(nbad <= r_tiny), _repair_with(r_tiny),
+                    tier0, None)
 
             def _mid(_):
                 return jax.lax.cond(
@@ -638,7 +661,7 @@ def knn_select_gather(
 
             def _not_ok(_):
                 return jax.lax.cond(
-                    jnp.all(nbad <= r_small), tier0,
+                    jnp.all(nbad <= r_small), _tier0,
                     _mid, None)
 
             vals, indices = jax.lax.cond(gok, _take_grid, _not_ok, None)

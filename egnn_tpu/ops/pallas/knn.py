@@ -311,9 +311,11 @@ def knn_select_pallas(
 
 
 # Extraction method used when knn_select_gather_pallas gets extract=None.
-# Ships "highest" until the split3 arm measures a layer-level win on-chip
-# (benchmarks/ab_fused_gather.py) — flip here on the measured result.
-FUSED_EXTRACT = "highest"
+# "split3" measured on-chip (v5e, round 5, benchmarks/ab_split3.py,
+# flagship n=1024 k=8 dim=32 mask+adjacency, bitwise-gated): kernel fwd
+# 84.6 -> 48.1 us, layer fwd+bwd 146.1 -> 111.8, depth-3 network fwd+bwd
+# 456.2 -> 347.1 us (-24%) — the 3-vs-6-pass model held at every level.
+FUSED_EXTRACT = "split3"
 
 
 def supports_pallas_knn_gather(n: int, tw: int, k: int) -> bool:
@@ -424,12 +426,29 @@ def _knn_gather_call(coors, mask, adj_mat, table, *, k, interpret, has_mask,
 
     if extract == "split3":
         # Exact 3-way bf16 decomposition (t_hi + t_mid + t_lo == table32
-        # bitwise for |v| above the bf16 subnormal floor): the kernel's
-        # one-hot extraction then needs 3 DEFAULT passes, not HIGHEST's 6.
-        t_hi = table32.astype(jnp.bfloat16)
-        r1 = table32 - t_hi.astype(jnp.float32)
-        t_mid = r1.astype(jnp.bfloat16)
-        t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        # bitwise, all values): the kernel's one-hot extraction then needs
+        # 3 DEFAULT passes, not HIGHEST's 6. The split is BIT-LEVEL
+        # (truncation, not round-to-nearest): the axon terminal forces
+        # --xla_allow_excess_precision=true, under which XLA elides
+        # f32->bf16->f32 convert chains — the arithmetic split
+        # (t - bf16(t).f32()) then folds its residual to ZERO and the lo
+        # plane vanishes (measured on-chip: 2^-16-level payload error,
+        # round-5 smoke). Mask-truncation has no convert chain to elide:
+        # hi = top 16 bits of the f32 (definitionally a bf16), each
+        # residual a clean suffix (<= 16 / <= 8 significant bits), so the
+        # subtracts and the final bf16 cast are all exact.
+        def _trunc_split(t):
+            u = jax.lax.bitcast_convert_type(t, jnp.uint32)
+            hi_f = jax.lax.bitcast_convert_type(
+                u & jnp.uint32(0xFFFF0000), jnp.float32)
+            hi_b = jax.lax.bitcast_convert_type(
+                (u >> 16).astype(jnp.uint16), jnp.bfloat16)
+            return hi_f, hi_b
+
+        hi_f, t_hi = _trunc_split(table32)
+        r1 = table32 - hi_f
+        mid_f, t_mid = _trunc_split(r1)
+        t_lo = (r1 - mid_f).astype(jnp.bfloat16)
         table_inputs = [t_hi, t_mid, t_lo]
     else:
         table_inputs = [table32]

@@ -209,3 +209,31 @@ def test_grid_integer_lattice_ties(n, k):
     a = knn_select(coors, k, float("inf"), backend="auto")
     g = knn_select(coors, k, float("inf"), backend="grid")
     np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
+
+
+def test_window_tier_cascade_exact(monkeypatch):
+    """Grid backend exactness on clustered data through the repair-tier
+    cond ladder in interpret mode. NOTE: at this n the jnp grid path
+    rejects every row (cells too coarse), so the ladder resolves to the
+    exact whole-call fallback — the WINDOW tier + r_tiny cascade branches
+    themselves only engage at n >= 16384 and are exactness-gated ON-CHIP
+    by benchmarks/grid_route_check.py's auto == exact assertions on
+    Gaussian clouds (16k/65k); this test pins the ladder's cond plumbing
+    (window gate dropped) still routes to a correct branch under
+    interpret."""
+    from egnn_tpu.ops import neighbors as nb
+
+    monkeypatch.setattr(nb, "_WINDOW_REPAIR_MIN_N", 0)
+    rng = np.random.RandomState(17)
+    # tight clusters + sparse halo: heterogeneous equal-mass cells
+    centers = rng.randn(8, 3).astype(np.float32) * 4.0
+    pts = np.concatenate(
+        [c + 0.05 * rng.randn(56, 3).astype(np.float32) for c in centers]
+        + [6.0 * rng.randn(64, 3).astype(np.float32)], axis=0)
+    coors = jnp.asarray(pts)[None]
+    k = 8
+    g = knn_select(coors, k, float("inf"), backend="grid", interpret=True)
+    a = knn_select(coors, k, float("inf"), backend="jnp")
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(a.indices))
+    np.testing.assert_allclose(np.asarray(g.ranking), np.asarray(a.ranking),
+                               rtol=1e-6, atol=1e-6)

@@ -76,8 +76,9 @@ def test_fused_select_gather_bitwise_on_chip():
     """The fused selection+payload-gather kernel (round 5, the auto default
     at flagship sizes) must be BITWISE identical to select + gather_nodes on
     hardware: indices/vals (pure f32 VPU both sides) and the payload rows
-    (one-hot MXU extraction under HIGHEST — the exactness claim this test
-    pins; a DEFAULT-precision regression would show as bf16 rounding)."""
+    under BOTH extraction modes (one HIGHEST one-hot dot; the split3
+    3-plane DEFAULT dots — the exactness claims this test pins; a
+    precision regression would show as bf16 rounding)."""
     from egnn_tpu.ops.core import gather_nodes
     from egnn_tpu.ops.pallas.knn import (knn_select_gather_pallas,
                                          knn_select_pallas)
@@ -94,11 +95,15 @@ def test_fused_select_gather_bitwise_on_chip():
     v0, i0 = jax.jit(lambda c: knn_select_pallas(
         c, k, mask=mask, adj_mat=adj))(coors)
     g0 = jax.jit(gather_nodes)(table, i0)
-    v1, i1, g1 = jax.jit(lambda c, t: knn_select_gather_pallas(
-        c, k, t, mask=mask, adj_mat=adj))(coors, table)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
-    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    for extract in ("highest", "split3"):
+        v1, i1, g1 = jax.jit(lambda c, t: knn_select_gather_pallas(
+            c, k, t, mask=mask, adj_mat=adj, extract=extract))(coors, table)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0),
+                                      err_msg=extract)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0),
+                                      err_msg=extract)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0),
+                                      err_msg=extract)
 
 
 def test_knn_packed_tiled_auto_dispatch_on_chip():
