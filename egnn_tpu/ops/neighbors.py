@@ -571,6 +571,7 @@ def knn_select_gather(
 
             r_small = min(n, max(128, n // 16))  # 128 = one lane tile
             r_tiny = min(n, max(128, n // 64))   # window tier-up cascade
+            r_mid = min(n, max(128, n // 32))    # cascade spill level
             r_big = min(n, max(256, n // 4))
 
             def _window_tier(_):
@@ -631,14 +632,25 @@ def knn_select_gather(
                 # 22.7). Window-failed rows are a thin margin sliver —
                 # re-rank them in an n/64 bucket (4x cheaper than r_small)
                 # and keep r_small only as the spill.
+                def _spill(_):
+                    # measured 65k Gaussian: still_bad ~ 1015 vs
+                    # r_tiny=1024 — one unlucky cloud away from the n/64
+                    # bucket overflowing; an n/32 mid level halves that
+                    # spill's cost vs jumping straight to r_small.
+                    return jax.lax.cond(
+                        jnp.all(nbad2 <= r_mid),
+                        _repair_with(r_mid, bad_map=still_bad,
+                                     base=(vv, ii)),
+                        _repair_with(r_small, bad_map=still_bad,
+                                     base=(vv, ii)),
+                        None)
+
                 def _cascade(_):
                     return jax.lax.cond(
                         jnp.all(nbad2 <= r_tiny),
                         _repair_with(r_tiny, bad_map=still_bad,
                                      base=(vv, ii)),
-                        _repair_with(r_small, bad_map=still_bad,
-                                     base=(vv, ii)),
-                        None)
+                        _spill, None)
 
                 return jax.lax.cond(jnp.all(nbad2 == 0), _done, _cascade,
                                     None)
