@@ -68,7 +68,11 @@ def main():
     print(f"edge-MLP at dim={DIM}: hidden={HID}, m_dim={M_DIM}")
     print(f"AR model: {AR_LAT_S*1e6:.0f} us latency + bytes/{ICI_BW/1e9:.0f} GB/s")
     rows = []
-    for pairs in (4096, 16384, 65536, 262144, 1048576):
+    # cap at 262144 pairs: the (pairs, 2050) f32 hidden activation is
+    # 2.1 GB there and 8.4 GB at 1M — fwd+bwd at 1M RESOURCE_EXHAUSTs the
+    # 16 GB chip (measured round 5); the crossover is monotone in pairs so
+    # the table's conclusion is unchanged.
+    for pairs in (4096, 16384, 65536, 262144):
         t_full = mlp_time(pairs, HID, M_DIM)
         out = []
         for model in (2, 4):
