@@ -572,6 +572,7 @@ def knn_select_gather(
             r_small = min(n, max(128, n // 16))  # 128 = one lane tile
             r_tiny = min(n, max(128, n // 64))   # window tier-up cascade
             r_mid = min(n, max(128, n // 32))    # cascade spill level
+            r_3q = min(n, max(128, (3 * n) // 64))  # exact-fit ladder top
             r_big = min(n, max(256, n // 4))
 
             def _window_tier(_):
@@ -657,14 +658,30 @@ def knn_select_gather(
 
             tier0 = _window_tier if can_window else _repair_with(r_small)
 
-            # PRE-tier: nbad <= r_tiny makes the direct tiny full-scan
-            # (r_tiny * n pair-ops) cost the same as the window pass
-            # (r_small * W = (n/16)(n/4) = r_tiny * n pair-ops) WITHOUT the
-            # x-sort/rank prep or any cascade risk — take it first.
+            # PRE-tier exact-fit LADDER: direct full-scan buckets at n/64
+            # granularity ahead of the window tier. Measured (65k Gaussian,
+            # benchmarks/diag_window.py): the full-scan queries kernel is
+            # LINEAR in R (1.93 ms at R=n/64, 7.66 at n/16 — 1.9 ms per
+            # n/64 rows), while the window path pays 1.2 ms prep + 3.3 ms
+            # kernel + a ~1.9 ms cascade when margins fail in the Gaussian
+            # core (only ~63% of bad rows certify there — the W=n/4 x-mass
+            # window is intrinsically thinner than r_k). Direct repair
+            # therefore WINS for nbad <= 3n/64 (5.75 vs 6.4 ms at the
+            # measured cloud) and removes the still_bad~r_tiny cascade
+            # cliff; the window tier keeps only the (3n/64, n/16] band.
             def _tier0(_):
+                def _le_mid(_):
+                    return jax.lax.cond(
+                        jnp.all(nbad <= r_tiny), _repair_with(r_tiny),
+                        _repair_with(r_mid), None)
+
+                def _gt_mid(_):
+                    return jax.lax.cond(
+                        jnp.all(nbad <= r_3q), _repair_with(r_3q),
+                        tier0, None)
+
                 return jax.lax.cond(
-                    jnp.all(nbad <= r_tiny), _repair_with(r_tiny),
-                    tier0, None)
+                    jnp.all(nbad <= r_mid), _le_mid, _gt_mid, None)
 
             def _mid(_):
                 return jax.lax.cond(
