@@ -90,14 +90,12 @@ def _gather_nodes_fwd(values, indices):
 
 
 def _gather_nodes_bwd(res, g):
-    from .segment import segment_sum
+    from .segment import batched_segment_sum
 
     indices, vshape = res
     b, n, d = vshape
-    k = indices.shape[-1]
-    offs = (jnp.arange(b, dtype=indices.dtype) * n)[:, None, None]
-    ids = (indices + offs).reshape(-1)
-    dv = segment_sum(g.reshape(-1, d), ids, b * n).reshape(b, n, d)
+    dv = batched_segment_sum(
+        g.reshape(b, -1, d), indices.reshape(b, -1), n)
     return dv.astype(g.dtype), None
 
 

@@ -736,13 +736,11 @@ def knn_select_gather(
                 return out, out[1]
 
             def _fused_bwd(idx_res, ct):
-                from .segment import segment_sum
+                from .segment import batched_segment_sum
 
                 dg = ct[2]
-                offs = (jnp.arange(b, dtype=idx_res.dtype) * n)[:, None, None]
-                ids = (idx_res + offs).reshape(-1)
-                dv = segment_sum(
-                    dg.reshape(-1, tw), ids, b * n).reshape(b, n, tw)
+                dv = batched_segment_sum(
+                    dg.reshape(b, -1, tw), idx_res.reshape(b, -1), n)
                 return (dv.astype(table.dtype),)
 
             _fused.defvjp(_fused_fwd, _fused_bwd)

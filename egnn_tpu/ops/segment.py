@@ -46,6 +46,37 @@ def segment_sum(
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+def batched_segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-graph segment sum: ``data`` (b, E, D) + ``segment_ids`` (b, E)
+    with ids in [0, num_segments) -> (b, num_segments, D).
+
+    Batched gathers have BLOCK-DIAGONAL segment structure (each graph's ids
+    address only its own rows), so on TPU a vmapped one-hot MXU kernel keeps
+    the per-call segment count at ``num_segments`` and stays on the Pallas
+    path. Flattening to b*num_segments ids pushes past the kernel's segment
+    cap onto XLA's scatter — the measured b=8 flagship layer-bwd regression
+    (benchmarks/ab_b8_bwd.py: vmapped kernel 228 us vs flattened scatter
+    463 us at (8, 8192, 36) -> 1024 segments on v5e)."""
+    b, _, d = data.shape
+    from .pallas.segment import (segment_sum_pallas,
+                                 supports_pallas_segment_sum)
+
+    if b > 1 and (interpret or supports_pallas_segment_sum(num_segments, d)):
+        return jax.vmap(
+            lambda dd, ii: segment_sum_pallas(dd, ii, num_segments, interpret)
+        )(data, segment_ids.astype(jnp.int32))
+    offs = (jnp.arange(b, dtype=segment_ids.dtype) * num_segments)[:, None]
+    ids = (segment_ids + offs).reshape(-1)
+    return segment_sum(
+        data.reshape(-1, d), ids, b * num_segments
+    ).reshape(b, num_segments, d)
+
+
 def segment_count(
     segment_ids: jnp.ndarray,
     num_segments: int,
